@@ -1,0 +1,190 @@
+"""Shared pytest fixtures.
+
+Tests run on a virtual 8-device CPU mesh — the JAX analog of the reference's
+mocked Accelerator seam (reference tests/test_training.py:62-77), except it
+actually exercises the collectives (all_gather for global NT-Xent, psum for
+metric reductions) instead of mocking them.
+"""
+
+import os
+
+# Must be set before jax import anywhere in the test process.
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+
+TINY_MODEL = {
+    "vision_model": "tiny-vit",
+    "text_model": "tiny-gpt2",
+    "projection_dim": 32,
+    "temperature": 0.5,
+    "dropout": 0.1,
+    "freeze_vision_backbone": True,
+    "freeze_text_backbone": False,
+    "share_text_tower": False,
+}
+
+
+def make_config_dict(**overrides):
+    cfg = {
+        "data": {
+            "conceptual_captions_path": "data/conceptual",
+            "ultrafeedback_path": "data/preferences.json",
+            "image_size": 32,
+            "max_caption_length": 16,
+            "train_split": 0.8,
+            "val_split": 0.1,
+            "test_split": 0.1,
+            "num_workers": 0,
+            "pin_memory": False,
+            "prefetch_factor": 2,
+        },
+        "model": dict(TINY_MODEL),
+        "training": {
+            "stage1": {
+                "batch_size": 4,
+                "learning_rate": 1e-3,
+                "weight_decay": 0.01,
+                "num_epochs": 1,
+                "warmup_steps": 2,
+                "gradient_accumulation_steps": 1,
+                "max_grad_norm": 1.0,
+                "contrastive_loss_weight": 1.0,
+            },
+            "stage2": {
+                "batch_size": 4,
+                "learning_rate": 1e-4,
+                "weight_decay": 0.01,
+                "num_epochs": 1,
+                "warmup_steps": 2,
+                "gradient_accumulation_steps": 1,
+                "max_grad_norm": 1.0,
+                "preference_loss_weight": 1.0,
+                "dpo_beta": 0.1,
+                "reference_free": False,
+                "length_normalized": False,
+                "label_smoothing": 0.0,
+            },
+            "seed": 42,
+            "logging_steps": 1,
+            "early_stopping_patience": 3,
+        },
+        "evaluation": {
+            "metrics": ["bleu", "rouge", "cider"],
+            "generate_config": {
+                "max_length": 16,
+                "num_beams": 2,
+                "temperature": 0.8,
+                "do_sample": False,
+                "top_p": 0.9,
+                "repetition_penalty": 1.1,
+                "length_penalty": 1.0,
+            },
+        },
+        "targets": {
+            "cider_score": 1.15,
+            "preference_win_rate": 0.72,
+            "human_eval_helpfulness": 4.2,
+            "latency_ms_p95": 150,
+        },
+        "mesh": {"data": -1, "fsdp": 1, "model": 1},
+        "pallas": {"enabled": False},
+        "paths": {
+            "output_dir": "./outputs",
+            "cache_dir": "./cache",
+            "log_dir": "./logs",
+            "checkpoint_dir": "./checkpoints",
+        },
+    }
+    for path, value in overrides.items():
+        node = cfg
+        keys = path.split(".")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = value
+    return cfg
+
+
+@pytest.fixture
+def config_dict():
+    return make_config_dict()
+
+
+@pytest.fixture
+def config(config_dict):
+    from pgica_tpu.utils.config import Config
+
+    return Config(config_dict=config_dict)
+
+
+@pytest.fixture
+def temp_config_file(tmp_path, config_dict):
+    path = tmp_path / "config.yaml"
+    path.write_text(yaml.safe_dump(config_dict))
+    return path
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def _write_image(path: Path, rng: np.random.Generator, size=(32, 32)):
+    from PIL import Image
+
+    arr = rng.integers(0, 255, size=(size[0], size[1], 3), dtype=np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture
+def temp_dataset_dir(tmp_path, rng):
+    """Caption dataset on disk: annotations.json + real image files."""
+    root = tmp_path / "captions"
+    (root / "images").mkdir(parents=True)
+    records = []
+    captions = [
+        "a red bird sitting on a branch",
+        "two dogs playing in the park",
+        "a bowl of fresh fruit on a table",
+        "a city skyline at night",
+        "children flying a kite on the beach",
+        "an old car parked near a barn",
+        "a cup of coffee next to a laptop",
+        "mountains covered in snow under blue sky",
+    ]
+    for i, cap in enumerate(captions):
+        img = root / "images" / f"img_{i}.jpg"
+        _write_image(img, rng)
+        records.append({"image_path": f"images/img_{i}.jpg", "caption": cap})
+    (root / "annotations.json").write_text(json.dumps(records))
+    return root
+
+
+@pytest.fixture
+def temp_preference_dataset(tmp_path, rng):
+    """Preference dataset on disk: preferences.json + image files."""
+    root = tmp_path / "prefs"
+    (root / "images").mkdir(parents=True)
+    records = []
+    for i in range(6):
+        img = root / "images" / f"img_{i}.jpg"
+        _write_image(img, rng)
+        records.append(
+            {
+                "image_path": f"images/img_{i}.jpg",
+                "preferred_caption": f"a detailed caption describing scene {i}",
+                "rejected_caption": f"thing {i}",
+                "preference_score": 0.9,
+            }
+        )
+    (root / "preferences.json").write_text(json.dumps(records))
+    return root / "preferences.json"
