@@ -1,0 +1,358 @@
+"""Data layer tests (mirrors reference test strategy, tests/test_data.py)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from pgica_tpu.data import (
+    CaptionTokenizer,
+    ConceptualCaptionsDataset,
+    DataLoader,
+    ImageProcessor,
+    TextProcessor,
+    UltraFeedbackDataset,
+    create_dataloaders,
+)
+
+
+@pytest.fixture
+def image_processor():
+    return ImageProcessor(image_size=32, augment=False)
+
+
+@pytest.fixture
+def text_processor():
+    return TextProcessor(max_length=16)
+
+
+# ---------------------------------------------------------------- tokenizer
+
+
+class TestCaptionTokenizer:
+    def test_roundtrip_byte_fallback(self):
+        tok = CaptionTokenizer()
+        text = "a red bird sitting on a branch"
+        assert tok.decode(tok.encode(text)) == text
+
+    def test_unicode_roundtrip(self):
+        tok = CaptionTokenizer()
+        text = "café ☕ naïve"
+        assert tok.decode(tok.encode(text)) == text
+
+    def test_special_token_ids_distinct(self):
+        tok = CaptionTokenizer()
+        ids = {tok.pad_token_id, tok.unk_token_id, tok.bos_token_id, tok.eos_token_id, tok.sep_token_id}
+        assert len(ids) == 5
+
+    def test_bos_eos(self):
+        tok = CaptionTokenizer()
+        ids = tok.encode("hi", add_bos=True, add_eos=True)
+        assert ids[0] == tok.bos_token_id and ids[-1] == tok.eos_token_id
+
+    def test_padded_encoding(self):
+        tok = CaptionTokenizer()
+        ids, mask = tok.encode_padded("hello world", max_length=32)
+        assert ids.shape == (32,) and mask.shape == (32,)
+        assert mask.sum() < 32
+        assert (ids[mask.sum():] == tok.pad_token_id).all()
+        assert ids[mask.sum() - 1] == tok.eos_token_id
+
+    def test_truncation_keeps_eos(self):
+        tok = CaptionTokenizer()
+        ids, mask = tok.encode_padded("a" * 500, max_length=8)
+        assert mask.sum() == 8
+        assert ids[7] == tok.eos_token_id
+
+    def test_train_bpe_merges_and_roundtrip(self):
+        corpus = ["the cat sat on the mat"] * 20 + ["the dog ran in the park"] * 20
+        tok = CaptionTokenizer.train_bpe(corpus, vocab_size=300)
+        assert tok.vocab_size > 256 + 5  # learned at least one merge
+        text = "the cat ran in the park"
+        assert tok.decode(tok.encode(text)) == text
+        # fewer tokens than raw bytes thanks to merges
+        assert len(tok.encode(text)) < len(text.encode())
+
+    def test_save_load(self, tmp_path):
+        corpus = ["hello world"] * 10
+        tok = CaptionTokenizer.train_bpe(corpus, vocab_size=280)
+        tok.save(tmp_path)
+        tok2 = CaptionTokenizer.load(tmp_path)
+        assert tok2.encode("hello world") == tok.encode("hello world")
+        assert tok2.vocab_size == tok.vocab_size
+
+
+# ---------------------------------------------------------------- image processor
+
+
+class TestImageProcessor:
+    def test_process_from_path(self, temp_dataset_dir, image_processor):
+        img = image_processor.process_image(temp_dataset_dir / "images" / "img_0.jpg")
+        assert img.shape == (32, 32, 3)
+        assert img.dtype == np.float32
+
+    def test_resize(self, rng, image_processor):
+        big = rng.integers(0, 255, (64, 48, 3), dtype=np.uint8)
+        from PIL import Image
+
+        out = image_processor.process_image(Image.fromarray(big))
+        assert out.shape == (32, 32, 3)
+
+    def test_denormalize_range(self, temp_dataset_dir, image_processor):
+        img = image_processor.process_image(temp_dataset_dir / "images" / "img_1.jpg")
+        den = image_processor.denormalize(img)
+        assert den.min() >= 0.0 and den.max() <= 1.0
+
+    def test_invalid_input_raises(self, image_processor):
+        with pytest.raises(ValueError):
+            image_processor.process_image(12345)
+
+    def test_batch(self, temp_dataset_dir, image_processor):
+        paths = [temp_dataset_dir / "images" / f"img_{i}.jpg" for i in range(3)]
+        out = image_processor.process_batch(paths)
+        assert out.shape == (3, 32, 32, 3)
+
+
+# ---------------------------------------------------------------- text processor
+
+
+class TestTextProcessor:
+    def test_encode_caption(self, text_processor):
+        enc = text_processor.encode_caption("a dog in the park")
+        assert enc["input_ids"].shape == (16,)
+        assert enc["attention_mask"].shape == (16,)
+
+    def test_roundtrip(self, text_processor):
+        enc = text_processor.encode_caption("hello there")
+        assert text_processor.decode_caption(enc["input_ids"]) == "hello there"
+
+    def test_batch(self, text_processor):
+        enc = text_processor.encode_batch(["one", "two two"])
+        assert enc["input_ids"].shape == (2, 16)
+        decoded = text_processor.decode_batch(enc["input_ids"])
+        assert decoded == ["one", "two two"]
+
+    def test_non_string_raises(self, text_processor):
+        with pytest.raises(ValueError):
+            text_processor.encode_caption(42)
+
+    def test_vocab_properties(self, text_processor):
+        assert text_processor.vocab_size > 256
+        assert text_processor.pad_token_id != text_processor.eos_token_id
+
+    def test_prepare_for_generation(self, text_processor):
+        out = text_processor.prepare_for_generation()
+        assert out["input_ids"][0, 0] == text_processor.bos_token_id
+
+
+# ---------------------------------------------------------------- datasets
+
+
+class TestConceptualCaptionsDataset:
+    def test_json_loading(self, temp_dataset_dir, image_processor, text_processor):
+        ds = ConceptualCaptionsDataset(temp_dataset_dir, image_processor, text_processor)
+        assert len(ds) == 8
+        item = ds[0]
+        assert item["image"].shape == (32, 32, 3)
+        assert item["caption_ids"].shape == (16,)
+        assert isinstance(item["raw_caption"], str)
+
+    def test_csv_loading(self, temp_dataset_dir, image_processor, text_processor, tmp_path):
+        csv = tmp_path / "data.csv"
+        rows = ["image_url,description"]
+        for i in range(4):
+            rows.append(f"{temp_dataset_dir}/images/img_{i}.jpg,caption number {i}")
+        csv.write_text("\n".join(rows))
+        ds = ConceptualCaptionsDataset(csv, image_processor, text_processor)
+        assert len(ds) == 4
+        assert ds[1]["raw_caption"] == "caption number 1"
+
+    def test_directory_sidecar_mode(self, tmp_path, rng, image_processor, text_processor):
+        from PIL import Image
+
+        for i in range(3):
+            arr = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(tmp_path / f"pic_{i}.png")
+            (tmp_path / f"pic_{i}.txt").write_text(f"sidecar caption {i}")
+        ds = ConceptualCaptionsDataset(tmp_path, image_processor, text_processor)
+        assert len(ds) == 3
+
+    def test_max_samples(self, temp_dataset_dir, image_processor, text_processor):
+        ds = ConceptualCaptionsDataset(
+            temp_dataset_dir, image_processor, text_processor, max_samples=3
+        )
+        assert len(ds) == 3
+
+    def test_corrupt_image_fallback(self, temp_dataset_dir, image_processor, text_processor):
+        bad = temp_dataset_dir / "images" / "img_0.jpg"
+        bad.write_bytes(b"not an image at all")
+        ds = ConceptualCaptionsDataset(temp_dataset_dir, image_processor, text_processor)
+        item = ds.get_sample_by_path(str(bad))
+        assert item is not None
+        assert (item["image"] == 0).all()
+
+    def test_empty_caption_filtered(self, temp_dataset_dir, image_processor, text_processor):
+        ann = temp_dataset_dir / "annotations.json"
+        records = json.loads(ann.read_text())
+        records.append({"image_path": "images/img_0.jpg", "caption": "   "})
+        ann.write_text(json.dumps(records))
+        ds = ConceptualCaptionsDataset(temp_dataset_dir, image_processor, text_processor)
+        assert len(ds) == 8
+
+    def test_missing_path_raises(self, image_processor, text_processor, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            ConceptualCaptionsDataset(tmp_path / "nope", image_processor, text_processor)
+
+    def test_lookup_by_path(self, temp_dataset_dir, image_processor, text_processor):
+        ds = ConceptualCaptionsDataset(temp_dataset_dir, image_processor, text_processor)
+        assert ds.get_sample_by_path("img_2.jpg") is not None
+        assert ds.get_sample_by_path("missing.jpg") is None
+
+
+class TestUltraFeedbackDataset:
+    def test_direct_format(self, temp_preference_dataset, image_processor, text_processor):
+        ds = UltraFeedbackDataset(temp_preference_dataset, image_processor, text_processor)
+        assert len(ds) == 6
+        item = ds[0]
+        assert item["preferred_ids"].shape == (16,)
+        assert item["rejected_ids"].shape == (16,)
+        assert item["image"].shape == (32, 32, 3)
+        assert item["preference_score"] >= 0.6
+
+    def test_conversations_format(self, tmp_path, temp_dataset_dir, image_processor, text_processor):
+        img = str(temp_dataset_dir / "images" / "img_0.jpg")
+        data = [
+            {
+                "image_path": img,
+                "conversations": [
+                    {"response": "excellent detailed caption", "score": 0.95},
+                    {"response": "ok caption", "score": 0.2},
+                    {"response": "bad", "score": 0.1},
+                ],
+            }
+        ]
+        p = tmp_path / "uf.json"
+        p.write_text(json.dumps(data))
+        ds = UltraFeedbackDataset(p, image_processor, text_processor, preference_threshold=0.6)
+        # only the 0.95-0.2 adjacent pair passes the 0.6 threshold
+        assert len(ds) == 1
+        assert ds[0]["raw_preferred"] == "excellent detailed caption"
+
+    def test_scored_captions_format(self, tmp_path, temp_dataset_dir, image_processor, text_processor):
+        img = str(temp_dataset_dir / "images" / "img_1.jpg")
+        data = [{"image_path": img, "captions": ["great", "poor"], "scores": [1.0, 0.1]}]
+        p = tmp_path / "scored.json"
+        p.write_text(json.dumps(data))
+        ds = UltraFeedbackDataset(p, image_processor, text_processor)
+        assert len(ds) == 1
+        assert ds[0]["raw_preferred"] == "great"
+
+    def test_threshold_filtering(self, tmp_path, temp_dataset_dir, image_processor, text_processor):
+        img = str(temp_dataset_dir / "images" / "img_1.jpg")
+        data = [
+            {"image_path": img, "preferred_caption": "a", "rejected_caption": "b", "preference_score": 0.5},
+            {"image_path": img, "preferred_caption": "c", "rejected_caption": "d", "preference_score": 0.9},
+        ]
+        p = tmp_path / "pairs.json"
+        p.write_text(json.dumps(data))
+        ds = UltraFeedbackDataset(p, image_processor, text_processor, preference_threshold=0.6)
+        assert len(ds) == 1
+
+
+# ---------------------------------------------------------------- dataloaders
+
+
+class TestDataLoaders:
+    def test_split_sizes(self, temp_dataset_dir, image_processor, text_processor):
+        train, val, test = create_dataloaders(
+            ConceptualCaptionsDataset,
+            temp_dataset_dir,
+            image_processor,
+            text_processor,
+            batch_size=2,
+        )
+        n = len(train.dataset) + len(val.dataset) + len(test.dataset)
+        assert n == 8
+        assert len(train.dataset) == 6
+
+    def test_per_split_augment_flags(self, temp_dataset_dir, image_processor, text_processor):
+        train, val, test = create_dataloaders(
+            ConceptualCaptionsDataset, temp_dataset_dir, image_processor, text_processor, batch_size=2
+        )
+        assert train.dataset.augment is True
+        assert val.dataset.augment is False and test.dataset.augment is False
+
+    def test_batch_shapes(self, temp_dataset_dir, image_processor, text_processor):
+        train, _, _ = create_dataloaders(
+            ConceptualCaptionsDataset, temp_dataset_dir, image_processor, text_processor, batch_size=2
+        )
+        batch = next(iter(train))
+        assert batch["image"].shape == (2, 32, 32, 3)
+        assert batch["caption_ids"].shape == (2, 16)
+        assert isinstance(batch["raw_caption"], list)
+
+    def test_seed_reproducibility(self, temp_dataset_dir, image_processor, text_processor):
+        def first_paths(seed):
+            train, _, _ = create_dataloaders(
+                ConceptualCaptionsDataset,
+                temp_dataset_dir,
+                image_processor,
+                text_processor,
+                batch_size=2,
+                seed=seed,
+            )
+            return next(iter(train))["image_path"]
+
+        assert first_paths(7) == first_paths(7)
+        assert first_paths(7) != first_paths(8)
+
+    def test_drop_last(self, temp_dataset_dir, image_processor, text_processor):
+        ds = ConceptualCaptionsDataset(temp_dataset_dir, image_processor, text_processor)
+        loader = DataLoader(ds, batch_size=3, drop_last=True)
+        batches = list(loader)
+        assert len(batches) == 2
+        loader2 = DataLoader(ds, batch_size=3, drop_last=False)
+        assert len(list(loader2)) == 3
+
+    def test_bad_split_fractions(self, temp_dataset_dir, image_processor, text_processor):
+        with pytest.raises(ValueError):
+            create_dataloaders(
+                ConceptualCaptionsDataset,
+                temp_dataset_dir,
+                image_processor,
+                text_processor,
+                train_split=0.5,
+                val_split=0.1,
+                test_split=0.1,
+            )
+
+
+# ---------------------------------------------------------------- device augmentation
+
+
+class TestAugment:
+    def test_augment_changes_images_and_is_deterministic(self, temp_dataset_dir, image_processor):
+        import jax
+
+        from pgica_tpu.data.augment import augment_batch
+
+        batch = image_processor.process_batch(
+            [temp_dataset_dir / "images" / f"img_{i}.jpg" for i in range(2)]
+        )
+        key = jax.random.PRNGKey(0)
+        out1 = np.asarray(augment_batch(key, batch, enabled=True))
+        out2 = np.asarray(augment_batch(key, batch, enabled=True))
+        out3 = np.asarray(augment_batch(jax.random.PRNGKey(1), batch, enabled=True))
+        assert out1.shape == batch.shape
+        np.testing.assert_allclose(out1, out2)  # same key -> same augmentation
+        assert not np.allclose(out1, out3)  # different key -> different
+        assert np.isfinite(out1).all()
+
+    def test_disabled_is_identity(self, temp_dataset_dir, image_processor):
+        import jax
+
+        from pgica_tpu.data.augment import augment_batch
+
+        batch = image_processor.process_batch([temp_dataset_dir / "images" / "img_0.jpg"])
+        out = np.asarray(augment_batch(jax.random.PRNGKey(0), batch, enabled=False))
+        np.testing.assert_allclose(out, batch)
