@@ -1,1 +1,2 @@
 """pgica_tpu.generation subpackage."""
+from pgica_tpu.generation.decode import generate

@@ -1,0 +1,141 @@
+"""Vision-conditioned caption decoder (reference C9, model.py:477-678).
+
+Structure mirrors the reference's intent, TPU-natively:
+
+* ``vision_projection``: Dense(projection_dim -> hidden)-tanh-dropout
+  (reference model.py:521-525).
+* ``cross_attention``: 8-head attention where caption token embeddings (query)
+  attend to the single projected vision token (key/value), with residual +
+  LayerNorm (reference model.py:528-535, 594-601).
+* causal transformer LM with weight-tied head over the shared vocabulary.
+
+Training forward embeds tokens, fuses the vision token via cross-attention,
+and runs the LM on ``inputs_embeds`` — one fused jitted graph instead of the
+reference's separate module calls.
+
+Decode path: the projected vision embedding is the FIRST position of the
+sequence and subsequent tokens extend it, matching the reference's
+generation-time seeding (model.py:611-617). Like the reference, the
+cross-attention layer is NOT applied at decode time (reference asymmetry,
+SURVEY §3.3); set ``cross_attend_at_decode=True`` to fix it (documented
+deviation, default off for parity).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pgica_tpu.models.layers import KVCache, MultiHeadAttention
+from pgica_tpu.models.lm import TransformerLM
+from pgica_tpu.models.presets import LMConfig
+
+
+class CaptionDecoder(nn.Module):
+    config: LMConfig
+    projection_dim: int = 512
+    num_cross_heads: int = 8
+    dropout: float = 0.1
+    cross_attend_at_decode: bool = False
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    def setup(self):
+        self.vision_projection = nn.Sequential(
+            [
+                nn.Dense(self.config.hidden_size, dtype=self.dtype, param_dtype=jnp.float32),
+                nn.tanh,
+            ]
+        )
+        self.vision_dropout = nn.Dropout(self.dropout)
+        self.cross_attention = MultiHeadAttention(
+            hidden_size=self.config.hidden_size,
+            num_heads=self.num_cross_heads,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            attn_impl="xla",  # single-KV-token attention: MXU-trivial, not flash-worthy
+        )
+        self.cross_ln = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
+        self.lm = TransformerLM(
+            self.config, with_lm_head=True, dtype=self.dtype,
+            attn_impl=self.attn_impl, remat=self.remat,
+        )
+
+    def project_vision(self, vision_embeddings: jax.Array, deterministic: bool = True) -> jax.Array:
+        """(B, projection_dim) -> (B, 1, hidden) vision token."""
+        v = self.vision_projection(vision_embeddings.astype(self.dtype))
+        v = self.vision_dropout(v, deterministic=deterministic)
+        return v[:, None, :]
+
+    def fuse(
+        self, token_embeds: jax.Array, vision_token: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        """Cross-attend token embeddings to the vision token; residual + LN."""
+        attended, _ = self.cross_attention(
+            token_embeds, kv=vision_token, deterministic=deterministic
+        )
+        return self.cross_ln(token_embeds + attended)
+
+    def __call__(
+        self,
+        caption_ids: jax.Array,
+        caption_mask: Optional[jax.Array],
+        vision_embeddings: jax.Array,
+        deterministic: bool = True,
+    ) -> dict:
+        """Teacher-forced training forward. Returns ``logits`` (B, S, V)."""
+        if caption_mask is None:
+            caption_mask = jnp.ones_like(caption_ids)
+        vision_token = self.project_vision(vision_embeddings, deterministic)
+        token_embeds = self.lm.embed(caption_ids)
+        fused = self.fuse(token_embeds, vision_token, deterministic)
+        out = self.lm(
+            inputs_embeds=fused, attention_mask=caption_mask, deterministic=deterministic
+        )
+        return {"logits": out["logits"], "hidden_states": out["hidden_states"]}
+
+    # -- decode-time pieces (used by pgica_tpu.generation.decode) -----------------
+
+    def decode_prefix(
+        self, vision_embeddings: jax.Array, caches: List[KVCache], attention_mask: jax.Array
+    ) -> Tuple[jax.Array, List[KVCache]]:
+        """Run the vision token through the LM at position 0, priming caches.
+
+        Returns (logits_for_first_token, updated_caches).
+        """
+        vision_token = self.project_vision(vision_embeddings, deterministic=True)
+        out = self.lm(
+            inputs_embeds=vision_token,
+            attention_mask=attention_mask,
+            caches=caches,
+            position=0,
+        )
+        return out["logits"][:, -1, :], out["caches"]
+
+    def decode_step(
+        self,
+        token_ids: jax.Array,
+        position: jax.Array,
+        caches: List[KVCache],
+        attention_mask: jax.Array,
+        vision_embeddings: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, List[KVCache]]:
+        """One autoregressive step: (B, 1) token -> (B, V) next-token logits."""
+        if self.config.arch == "gpt2":
+            embeds = self.lm.wte(token_ids) + self.lm.wpe(jnp.atleast_1d(position))[None]
+        else:
+            embeds = self.lm.wte(token_ids)
+        if self.cross_attend_at_decode and vision_embeddings is not None:
+            vision_token = self.project_vision(vision_embeddings, deterministic=True)
+            embeds = self.fuse(embeds, vision_token, deterministic=True)
+        out = self.lm(
+            inputs_embeds=embeds,
+            attention_mask=attention_mask,
+            caches=caches,
+            position=position,
+        )
+        return out["logits"][:, -1, :], out["caches"]

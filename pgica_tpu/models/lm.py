@@ -113,13 +113,10 @@ class TransformerLM(nn.Module):
         if inputs_embeds is None:
             if input_ids is None:
                 raise ValueError("Provide input_ids or inputs_embeds")
-            offset = 0 if position is None else position
+            x = self.wte(input_ids)
             if cfg.arch == "gpt2":
-                x = self.wte(input_ids)
-                pos_ids = jnp.arange(input_ids.shape[1]) + (position if position is not None else 0)
+                pos_ids = jnp.arange(input_ids.shape[1]) + (0 if position is None else position)
                 x = x + self.wpe(pos_ids)[None]
-            else:
-                x = self.wte(input_ids)
         else:
             x = inputs_embeds.astype(self.dtype)
 

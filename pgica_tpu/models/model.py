@@ -1,0 +1,329 @@
+"""Top-level preference-guided captioning model (reference C10, model.py:681-954).
+
+Two layers:
+
+* :class:`PreferenceGuidedCaptioningModule` — the pure Flax module composing
+  vision encoder + text encoder + caption decoder, with ``mode`` semantics
+  matching the reference forward (contrastive / generation / dual).
+* :class:`PreferenceGuidedCaptioningModel` — a thin stateful runtime wrapper
+  owning (module, params, tokenizer) and exposing the reference's public API
+  (callable forward, ``generate_captions``, ``compute_similarity``) over
+  jitted apply functions, so CLIs/eval code read like the reference while the
+  compute path is pure JAX.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pgica_tpu.data.tokenizer import CaptionTokenizer
+from pgica_tpu.models.decoder import CaptionDecoder
+from pgica_tpu.models.encoders import TextEncoder
+from pgica_tpu.models.presets import LMConfig, ViTConfig, get_text_config, get_vision_config
+from pgica_tpu.models.vit import VisionEncoder
+from pgica_tpu.ops.losses import caption_cross_entropy, l2_normalize
+
+logger = logging.getLogger(__name__)
+
+
+class PreferenceGuidedCaptioningModule(nn.Module):
+    """Composed Flax module: vision tower + text tower + caption decoder."""
+
+    vision_config: ViTConfig
+    text_config: LMConfig
+    decoder_config: LMConfig
+    projection_dim: int = 512
+    temperature: float = 0.5
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    def setup(self):
+        self.vision_encoder = VisionEncoder(
+            self.vision_config, self.projection_dim, self.dropout,
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+        )
+        self.text_encoder = TextEncoder(
+            self.text_config, self.projection_dim, self.dropout,
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+        )
+        self.caption_decoder = CaptionDecoder(
+            self.decoder_config, self.projection_dim, dropout=self.dropout,
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+        )
+
+    # -- encoders -----------------------------------------------------------------
+
+    def encode_image(self, images: jax.Array, deterministic: bool = True) -> dict:
+        return self.vision_encoder(images, deterministic)
+
+    def encode_text(
+        self, caption_ids: jax.Array, caption_mask: Optional[jax.Array], deterministic: bool = True
+    ) -> dict:
+        return self.text_encoder(caption_ids, caption_mask, deterministic)
+
+    # -- decoder passthroughs (generation uses these via apply(method=...)) --------
+
+    def decode_train(
+        self,
+        caption_ids: jax.Array,
+        caption_mask: Optional[jax.Array],
+        vision_embeddings: jax.Array,
+        deterministic: bool = True,
+    ) -> dict:
+        return self.caption_decoder(caption_ids, caption_mask, vision_embeddings, deterministic)
+
+    def decode_prefix(self, vision_embeddings, caches, attention_mask):
+        return self.caption_decoder.decode_prefix(vision_embeddings, caches, attention_mask)
+
+    def decode_step(self, token_ids, position, caches, attention_mask, vision_embeddings=None):
+        return self.caption_decoder.decode_step(
+            token_ids, position, caches, attention_mask, vision_embeddings
+        )
+
+    # -- main forward (reference model.py:794-851) ----------------------------------
+
+    def __call__(
+        self,
+        images: jax.Array,
+        caption_ids: Optional[jax.Array] = None,
+        caption_mask: Optional[jax.Array] = None,
+        labels: Optional[jax.Array] = None,
+        mode: str = "contrastive",
+        deterministic: bool = True,
+    ) -> Dict[str, jax.Array]:
+        if mode not in ("contrastive", "generation", "dual"):
+            raise ValueError(f"Unknown mode: {mode!r}")
+        outputs: Dict[str, jax.Array] = {}
+        vision = self.encode_image(images, deterministic)
+
+        if mode in ("contrastive", "dual"):
+            if caption_ids is None:
+                raise ValueError("contrastive mode requires caption_ids")
+            text = self.encode_text(caption_ids, caption_mask, deterministic)
+            outputs["image_embeddings"] = l2_normalize(vision["embeddings"])
+            outputs["text_embeddings"] = l2_normalize(text["embeddings"])
+
+        if mode in ("generation", "dual"):
+            if caption_ids is None:
+                raise ValueError("generation mode requires caption_ids")
+            dec = self.decode_train(caption_ids, caption_mask, vision["embeddings"], deterministic)
+            outputs["logits"] = dec["logits"]
+            if labels is not None:
+                mask = caption_mask if caption_mask is not None else jnp.ones_like(labels)
+                outputs["loss"] = caption_cross_entropy(dec["logits"], labels, mask)
+
+        outputs["vision_embeddings"] = vision["embeddings"]
+        return outputs
+
+    def compute_similarity(
+        self, images: jax.Array, caption_ids: jax.Array, caption_mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """(B_img, B_txt) cosine similarity / temperature (reference 925-954)."""
+        img = l2_normalize(self.encode_image(images)["embeddings"].astype(jnp.float32))
+        txt = l2_normalize(self.encode_text(caption_ids, caption_mask)["embeddings"].astype(jnp.float32))
+        return img @ txt.T / self.temperature
+
+
+def build_module(
+    vision_model: str = "openai/clip-vit-base-patch32",
+    text_model: str = "gpt2-medium",
+    projection_dim: int = 512,
+    temperature: float = 0.5,
+    dropout: float = 0.1,
+    vocab_size: int = 50257,
+    max_caption_length: int = 128,
+    dtype: Any = jnp.float32,
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> PreferenceGuidedCaptioningModule:
+    """Resolve presets and construct the composed module.
+
+    The decoder is a second full copy of the text architecture, matching the
+    reference's duplicated GPT-2 (SURVEY §2.2: AutoModel + GPT2LMHeadModel).
+    """
+    vision_config = get_vision_config(vision_model)
+    base = get_text_config(text_model)
+    max_pos = max(base.max_position_embeddings, max_caption_length + 1)
+    text_config = get_text_config(
+        text_model, vocab_size=vocab_size, dropout=dropout, max_position_embeddings=max_pos
+    )
+    decoder_config = text_config
+    return PreferenceGuidedCaptioningModule(
+        vision_config=vision_config,
+        text_config=text_config,
+        decoder_config=decoder_config,
+        projection_dim=projection_dim,
+        temperature=temperature,
+        dropout=dropout,
+        dtype=dtype,
+        attn_impl=attn_impl,
+        remat=remat,
+    )
+
+
+class PreferenceGuidedCaptioningModel:
+    """Stateful runtime wrapper with the reference's public API (reference C10)."""
+
+    def __init__(
+        self,
+        vision_model: str = "openai/clip-vit-base-patch32",
+        text_model: str = "gpt2-medium",
+        projection_dim: int = 512,
+        temperature: float = 0.5,
+        dropout: float = 0.1,
+        freeze_vision_backbone: bool = True,
+        freeze_text_backbone: bool = False,
+        tokenizer: Optional[CaptionTokenizer] = None,
+        max_caption_length: int = 128,
+        dtype: Any = jnp.float32,
+        attn_impl: str = "auto",
+        remat: bool = False,
+        seed: int = 0,
+        image_size: Optional[int] = None,
+    ):
+        self.tokenizer = tokenizer or CaptionTokenizer.from_pretrained(text_model)
+        self.vision_model_name = vision_model
+        self.text_model_name = text_model
+        self.projection_dim = projection_dim
+        self.temperature = temperature
+        self.freeze_vision_backbone = freeze_vision_backbone
+        self.freeze_text_backbone = freeze_text_backbone
+        self.max_caption_length = max_caption_length
+        self.module = build_module(
+            vision_model=vision_model,
+            text_model=text_model,
+            projection_dim=projection_dim,
+            temperature=temperature,
+            dropout=dropout,
+            vocab_size=self.tokenizer.vocab_size,
+            max_caption_length=max_caption_length,
+            dtype=dtype,
+            attn_impl=attn_impl,
+            remat=remat,
+        )
+        self.image_size = image_size or self.module.vision_config.image_size
+        self.params = self.init_params(jax.random.PRNGKey(seed))
+        self._jit_forward = jax.jit(
+            lambda params, images, ids, mask, labels, mode: self.module.apply(
+                {"params": params}, images, ids, mask, labels, mode=mode
+            ),
+            static_argnames=("mode",),
+        )
+        self._jit_similarity = jax.jit(
+            lambda params, images, ids, mask: self.module.apply(
+                {"params": params}, images, ids, mask, method=self.module.compute_similarity
+            )
+        )
+        self._jit_encode_image = jax.jit(
+            lambda params, images: self.module.apply(
+                {"params": params}, images, method=self.module.encode_image
+            )
+        )
+        self._generate_fn = None  # built lazily per generate_config
+
+    def init_params(self, rng: jax.Array) -> dict:
+        images = jnp.zeros((1, self.image_size, self.image_size, 3), jnp.float32)
+        ids = jnp.zeros((1, self.max_caption_length), jnp.int32)
+        mask = jnp.ones_like(ids)
+        variables = self.module.init(rng, images, ids, mask, mode="dual")
+        return variables["params"]
+
+    # -- reference-parity API ------------------------------------------------------
+
+    def __call__(
+        self,
+        images,
+        caption_ids=None,
+        caption_mask=None,
+        labels=None,
+        mode: str = "contrastive",
+    ) -> Dict[str, np.ndarray]:
+        images = jnp.asarray(images)
+        ids = None if caption_ids is None else jnp.asarray(caption_ids)
+        mask = None if caption_mask is None else jnp.asarray(caption_mask)
+        lab = None if labels is None else jnp.asarray(labels)
+        return self._jit_forward(self.params, images, ids, mask, lab, mode)
+
+    def compute_similarity(self, images, caption_ids, caption_mask=None):
+        mask = jnp.ones_like(jnp.asarray(caption_ids)) if caption_mask is None else jnp.asarray(caption_mask)
+        return self._jit_similarity(self.params, jnp.asarray(images), jnp.asarray(caption_ids), mask)
+
+    def generate_captions(
+        self,
+        images,
+        max_length: int = 128,
+        num_beams: int = 1,
+        temperature: float = 1.0,
+        do_sample: bool = False,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.0,
+        length_penalty: float = 1.0,
+        seed: int = 0,
+    ) -> List[str]:
+        """Encode images, autoregressively decode, detokenize.
+
+        Mirrors the reference surface and its phase-timing logs
+        (reference model.py:855-923).
+        """
+        from pgica_tpu.generation.decode import generate
+
+        images = jnp.asarray(images)
+        t0 = time.perf_counter()
+        vision = self._jit_encode_image(self.params, images)
+        vision["embeddings"].block_until_ready()
+        t_encode = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        token_ids = generate(
+            self.module,
+            self.params,
+            vision["embeddings"],
+            bos_token_id=self.tokenizer.bos_token_id,
+            eos_token_id=self.tokenizer.eos_token_id,
+            pad_token_id=self.tokenizer.pad_token_id,
+            max_length=max_length,
+            num_beams=num_beams,
+            temperature=temperature,
+            do_sample=do_sample,
+            top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            length_penalty=length_penalty,
+            rng=jax.random.PRNGKey(seed),
+        )
+        token_ids = np.asarray(token_ids)
+        t_generate = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        captions = [self.tokenizer.decode(row) for row in token_ids]
+        t_decode = time.perf_counter() - t0
+        logger.info(
+            "generate_captions: encode %.3fs generate %.3fs decode %.3fs (%.1f ms/caption)",
+            t_encode, t_generate, t_decode,
+            1000.0 * (t_encode + t_generate + t_decode) / max(1, len(captions)),
+        )
+        return captions
+
+    # -- introspection ----------------------------------------------------------------
+
+    def num_parameters(self) -> Dict[str, int]:
+        def count(tree) -> int:
+            return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+        per = {name: count(sub) for name, sub in self.params.items()}
+        per["total"] = count(self.params)
+        frozen = 0
+        if self.freeze_vision_backbone:
+            frozen += count(self.params["vision_encoder"]["backbone"])
+        if self.freeze_text_backbone:
+            frozen += count(self.params["text_encoder"]["backbone"])
+        per["trainable"] = per["total"] - frozen
+        return per

@@ -1,1 +1,3 @@
 """pgica_tpu.parallel subpackage."""
+from pgica_tpu.parallel.mesh import MeshContext
+from pgica_tpu.parallel.sharding import infer_param_spec, make_param_shardings, shard_params

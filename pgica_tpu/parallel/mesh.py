@@ -1,0 +1,99 @@
+"""Device mesh ownership and batch/param sharding (reference §2.5 replacement).
+
+The reference's distributed backend is HF Accelerate over NCCL DDP
+(reference trainer.py:188-201). The TPU-native equivalent is a named
+``jax.sharding.Mesh`` with three axes:
+
+* ``data``  — batch (DP) axis; NT-Xent negatives are all-gathered over it.
+* ``fsdp``  — optional parameter-sharding (ZeRO-style) axis.
+* ``model`` — tensor-parallel axis for the scaled configs (ViT-L/14 +
+  GPT-2 Large, SigLIP + Llama-3-8B): attention heads and MLP hidden sharded.
+
+A future multi-slice deployment adds an outer DCN axis; the factory accepts
+explicit device lists so tests can build 8-device CPU meshes.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+AXES = ("data", "fsdp", "model")
+
+
+class MeshContext:
+    """Owns the device mesh and the canonical sharding constructors."""
+
+    def __init__(
+        self,
+        data: int = -1,
+        fsdp: int = 1,
+        model: int = 1,
+        devices: Optional[Sequence[Any]] = None,
+    ):
+        devices = list(devices) if devices is not None else jax.devices()
+        n = len(devices)
+        if data == -1:
+            if n % (fsdp * model) != 0:
+                raise ValueError(f"{n} devices not divisible by fsdp*model={fsdp * model}")
+            data = n // (fsdp * model)
+        if data * fsdp * model != n:
+            raise ValueError(
+                f"Mesh {data}x{fsdp}x{model} does not match {n} devices"
+            )
+        device_array = np.asarray(devices).reshape(data, fsdp, model)
+        self.mesh = Mesh(device_array, AXES)
+        self.shape: Dict[str, int] = dict(zip(AXES, (data, fsdp, model)))
+        logger.info("Mesh created: %s over %d %s devices", self.shape, n, devices[0].platform)
+
+    @classmethod
+    def from_config(cls, config, devices=None) -> "MeshContext":
+        return cls(
+            data=config.get("mesh.data", -1),
+            fsdp=config.get("mesh.fsdp", 1),
+            model=config.get("mesh.model", 1),
+            devices=devices,
+        )
+
+    @property
+    def num_devices(self) -> int:
+        return self.mesh.size
+
+    @property
+    def data_parallel_size(self) -> int:
+        return self.shape["data"] * self.shape["fsdp"]
+
+    # -- shardings ---------------------------------------------------------------
+
+    def sharding(self, *spec) -> NamedSharding:
+        return NamedSharding(self.mesh, P(*spec))
+
+    @property
+    def batch_sharding(self) -> NamedSharding:
+        """Leading (batch) dim split over data+fsdp; rest replicated."""
+        return self.sharding(("data", "fsdp"))
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return self.sharding()
+
+    def shard_batch(self, batch):
+        """Device-put a host batch pytree with batch-dim sharding."""
+        return jax.tree.map(
+            lambda x: jax.device_put(x, self.batch_sharding), batch
+        )
+
+    def __enter__(self):
+        self._ctx = self.mesh
+        self._ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        return self._ctx.__exit__(*exc)

@@ -1,0 +1,97 @@
+"""Parameter partition rules: param-tree path -> PartitionSpec.
+
+Tensor-parallel layout follows the Megatron/scaling-book recipe:
+
+* attention q/k/v DenseGeneral kernels (embed, heads, head_dim): heads over
+  ``model``, embed over ``fsdp``;
+* attention out_proj (heads, head_dim, embed): heads over ``model``, embed
+  over ``fsdp``;
+* MLP in/gate/up (embed, intermediate): intermediate over ``model``;
+  MLP out/down (intermediate, embed): intermediate over ``model``;
+* token embedding (vocab, embed): vocab over ``model`` (weight-tied logits
+  are resolved by XLA SPMD with a psum over the model axis);
+* norms/biases/small heads: replicated.
+
+Every rule degrades gracefully: if a dimension is not divisible by the axis
+size, that axis is dropped (replicated) so tiny test models still compile on
+8-device meshes.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+# (path regex, spec per dimension) — first match wins. Dim entries may be
+# None, an axis name, or a tuple of axis names.
+_RULES: Tuple[Tuple[str, Tuple], ...] = (
+    (r".*(q_proj|k_proj|v_proj)/kernel$", ("fsdp", "model", None)),
+    (r".*out_proj/kernel$", ("model", None, "fsdp")),
+    (r".*(fc_in|gate_proj|up_proj)/kernel$", ("fsdp", "model")),
+    (r".*(fc_out|down_proj)/kernel$", ("model", "fsdp")),
+    (r".*wte/embedding$", ("model", "fsdp")),
+    (r".*wpe/embedding$", (None, "fsdp")),
+    (r".*patch_embed/kernel$", (None, None, None, "model")),
+    (r".*projection/(fc1|fc2)/kernel$", ("fsdp", None)),
+    (r".*vision_projection.*kernel$", ("fsdp", None)),
+)
+
+
+def _axis_size(mesh: Mesh, axis) -> int:
+    if axis is None:
+        return 1
+    if isinstance(axis, tuple):
+        size = 1
+        for a in axis:
+            size *= mesh.shape[a]
+        return size
+    return mesh.shape[axis]
+
+
+def infer_param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
+    """Partition spec for one parameter, with divisibility fallback."""
+    for pattern, dims in _RULES:
+        if re.match(pattern, path):
+            spec = []
+            for i, axis in enumerate(dims[: len(shape)]):
+                if axis is not None and shape[i] % _axis_size(mesh, axis) == 0 and _axis_size(mesh, axis) > 1:
+                    spec.append(axis)
+                else:
+                    spec.append(None)
+            spec += [None] * (len(shape) - len(spec))
+            return P(*spec)
+    return P()  # replicate
+
+
+def _flatten_path(key_path) -> str:
+    parts = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def make_param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree matching ``params`` under the TP/FSDP rules."""
+
+    def spec_for(key_path, leaf):
+        path = _flatten_path(key_path)
+        return NamedSharding(mesh, infer_param_spec(path, leaf.shape, mesh))
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Device-put parameters with their inferred shardings."""
+    shardings = make_param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,94 @@
+"""Orbax checkpointing with the reference's naming and payload scheme.
+
+Reference checkpoints (trainer.py:770-813): per-epoch files
+``checkpoint_stage{S}_epoch{E}.pt`` plus ``best_model_stage{S}.pt`` holding
+epoch/stage/global_step/model/optimizer/scheduler/val_loss/config. Here the
+payload is an Orbax PyTree checkpoint (params + opt_state + counters + the
+resolved config dict); directory names keep the reference pattern so tooling
+expectations carry over.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    """Save/restore training state with per-epoch + per-stage-best files."""
+
+    def __init__(self, checkpoint_dir):
+        self.checkpoint_dir = Path(checkpoint_dir)
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        self._ckpt = ocp.PyTreeCheckpointer()
+
+    def _path(self, name: str) -> Path:
+        return (self.checkpoint_dir / name).resolve()
+
+    def save(
+        self,
+        name: str,
+        params: Any,
+        opt_state: Any = None,
+        *,
+        epoch: int = 0,
+        stage: int = 1,
+        global_step: int = 0,
+        val_loss: Optional[float] = None,
+        config: Optional[Dict] = None,
+        overwrite: bool = True,
+    ) -> Path:
+        path = self._path(name)
+        payload = {"params": _to_host(params)}
+        if opt_state is not None:
+            payload["opt_state"] = _to_host(opt_state)
+        self._ckpt.save(path, payload, force=overwrite)
+        meta = {
+            "epoch": epoch,
+            "stage": stage,
+            "global_step": global_step,
+            "val_loss": None if val_loss is None else float(val_loss),
+            "config": config,
+        }
+        with open(path / "meta.json", "w") as f:
+            json.dump(meta, f, indent=2)
+        logger.info("Saved checkpoint %s (stage %d epoch %d step %d)", path, stage, epoch, global_step)
+        return path
+
+    def save_epoch(self, stage: int, epoch: int, **kw) -> Path:
+        return self.save(f"checkpoint_stage{stage}_epoch{epoch}", stage=stage, epoch=epoch, **kw)
+
+    def save_best(self, stage: int, **kw) -> Path:
+        return self.save(f"best_model_stage{stage}", stage=stage, **kw)
+
+    def restore(self, name_or_path) -> Dict[str, Any]:
+        path = Path(name_or_path)
+        if not path.exists():
+            path = self._path(str(name_or_path))
+        if not path.exists():
+            raise FileNotFoundError(f"Checkpoint not found: {name_or_path}")
+        payload = self._ckpt.restore(path)
+        meta_path = path / "meta.json"
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        payload["meta"] = meta
+        return payload
+
+    def latest(self, stage: Optional[int] = None) -> Optional[Path]:
+        pattern = f"checkpoint_stage{stage or '*'}_epoch*"
+        candidates = sorted(
+            self.checkpoint_dir.glob(pattern),
+            key=lambda p: (p.stat().st_mtime, p.name),
+        )
+        return candidates[-1] if candidates else None

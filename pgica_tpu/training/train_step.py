@@ -1,0 +1,256 @@
+"""Pure jitted train/eval steps for both stages.
+
+Replaces the reference's Accelerate prepare/backward/accumulate surface
+(reference trainer.py:435-652) with donated, pjit-compiled step functions:
+
+* Stage 1 — contrastive: device-side augmentation, dual-tower forward, NT-Xent.
+  Under a mesh the batch is sharded over the ``data`` axis and the similarity
+  matrix is a *global* matmul: XLA's SPMD partitioner inserts the ICI
+  all-gather of embeddings automatically, giving global negatives (the
+  reference's DDP loss used local negatives only — SURVEY §2.5).
+* Stage 2 — DPO: the vision tower runs ONCE per batch and the chosen/rejected
+  captions are folded into one decoder pass over a 2B-row batch (the
+  reference runs the vision encoder twice, SURVEY §3.2), with frozen-reference
+  logprobs computed in the same jitted graph (no second dispatch).
+* NaN-safe skipping is on-device: non-finite losses/grads zero the update and
+  bump a skip counter inside the compiled step (the reference's ``.item()``
+  host-sync checks, trainer.py:481-508, cost a device round-trip per batch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from pgica_tpu.data.augment import augment_batch
+from pgica_tpu.ops.losses import dpo_loss, ntxent_loss, sequence_logprobs
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    skipped: jax.Array  # count of NaN-skipped updates
+
+    @classmethod
+    def create(cls, params, optimizer: optax.GradientTransformation) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=optimizer.init(params),
+            skipped=jnp.zeros((), jnp.int32),
+        )
+
+
+def _global_norm(tree) -> jax.Array:
+    return optax.global_norm(tree)
+
+
+def _apply_update(
+    state: TrainState, grads, optimizer: optax.GradientTransformation, loss: jax.Array
+) -> Tuple[TrainState, jax.Array]:
+    """NaN-safe parameter update: skip (zero update) on non-finite loss/grads."""
+    grad_norm = _global_norm(grads)
+    ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+    safe_grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+    updates, new_opt_state = optimizer.update(safe_grads, state.opt_state, state.params)
+    updates = jax.tree.map(lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates)
+    new_params = optax.apply_updates(state.params, updates)
+    # On skip: keep old opt_state so a poisoned batch cannot corrupt moments.
+    new_opt_state = jax.tree.map(
+        lambda new, old: jnp.where(ok, new, old), new_opt_state, state.opt_state
+    )
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        opt_state=new_opt_state,
+        skipped=state.skipped + jnp.where(ok, 0, 1).astype(jnp.int32),
+    )
+    return new_state, grad_norm
+
+
+# --------------------------------------------------------------------- stage 1
+
+
+def stage1_loss_fn(
+    params,
+    batch: Dict[str, jax.Array],
+    rng: jax.Array,
+    module,
+    temperature: float,
+    augment: bool,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    aug_rng, dropout_rng = jax.random.split(rng)
+    images = batch["image"]
+    if augment:
+        images = augment_batch(aug_rng, images, enabled=True)
+    out = module.apply(
+        {"params": params},
+        images,
+        batch["caption_ids"],
+        batch["caption_mask"],
+        mode="contrastive",
+        deterministic=False,
+        rngs={"dropout": dropout_rng},
+    )
+    loss, metrics = ntxent_loss(
+        out["image_embeddings"], out["text_embeddings"], temperature, axis_name=axis_name
+    )
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_stage1_train_step(
+    module, optimizer: optax.GradientTransformation, temperature: float, augment: bool = True
+) -> Callable:
+    """Returns jit-ready fn(state, batch, rng) -> (state, metrics)."""
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(stage1_loss_fn, has_aux=True)(
+            state.params, batch, rng, module, temperature, augment
+        )
+        new_state, grad_norm = _apply_update(state, grads, optimizer, loss)
+        metrics["grad_norm"] = grad_norm
+        metrics["skipped"] = new_state.skipped
+        return new_state, metrics
+
+    return step
+
+
+def make_stage1_eval_step(module, temperature: float) -> Callable:
+    def step(params, batch):
+        out = module.apply(
+            {"params": params},
+            batch["image"],
+            batch["caption_ids"],
+            batch["caption_mask"],
+            mode="contrastive",
+        )
+        loss, metrics = ntxent_loss(
+            out["image_embeddings"], out["text_embeddings"], temperature
+        )
+        metrics["loss"] = loss
+        return metrics
+
+    return step
+
+
+# --------------------------------------------------------------------- stage 2
+
+
+def _policy_logits_pair(module, params, images, batch, rng=None):
+    """One vision encode + ONE decoder pass over [chosen; rejected]."""
+    kwargs = {}
+    deterministic = rng is None
+    if rng is not None:
+        kwargs = {"rngs": {"dropout": rng}}
+    b = images.shape[0]
+    vision = module.apply(
+        {"params": params}, images, deterministic=deterministic,
+        method="encode_image", **kwargs,
+    )
+    ids = jnp.concatenate([batch["preferred_ids"], batch["rejected_ids"]], axis=0)
+    mask = jnp.concatenate([batch["preferred_mask"], batch["rejected_mask"]], axis=0)
+    vis2 = jnp.concatenate([vision["embeddings"], vision["embeddings"]], axis=0)
+    dec = module.apply(
+        {"params": params}, ids, mask, vis2, deterministic,
+        method="decode_train", **kwargs,
+    )
+    logits = dec["logits"]
+    return logits[:b], logits[b:], ids, mask
+
+
+def stage2_loss_fn(
+    params,
+    ref_params,
+    batch,
+    rng,
+    module,
+    beta: float,
+    reference_free: bool,
+    length_normalized: bool,
+    label_smoothing: float,
+    augment: bool,
+):
+    aug_rng, dropout_rng = jax.random.split(rng)
+    images = batch["image"]
+    if augment:
+        images = augment_batch(aug_rng, images, enabled=True)
+    b = images.shape[0]
+
+    pol_chosen_logits, pol_rej_logits, ids, mask = _policy_logits_pair(
+        module, params, images, batch, dropout_rng
+    )
+    chosen_ids, rej_ids = ids[:b], ids[b:]
+    chosen_mask, rej_mask = mask[:b], mask[b:]
+    pc = sequence_logprobs(pol_chosen_logits, chosen_ids, chosen_mask, length_normalized)
+    pr = sequence_logprobs(pol_rej_logits, rej_ids, rej_mask, length_normalized)
+
+    rc = rr = None
+    if not reference_free and ref_params is not None:
+        ref_c_logits, ref_r_logits, _, _ = _policy_logits_pair(
+            module, jax.lax.stop_gradient(ref_params), images, batch, None
+        )
+        rc = sequence_logprobs(ref_c_logits, chosen_ids, chosen_mask, length_normalized)
+        rr = sequence_logprobs(ref_r_logits, rej_ids, rej_mask, length_normalized)
+
+    loss, metrics = dpo_loss(
+        pc, pr, rc, rr, beta=beta, label_smoothing=label_smoothing, reference_free=reference_free
+    )
+    metrics["loss"] = loss
+    metrics["policy_chosen_logp"] = pc.mean()
+    metrics["policy_rejected_logp"] = pr.mean()
+    return loss, metrics
+
+
+def make_stage2_train_step(
+    module,
+    optimizer: optax.GradientTransformation,
+    beta: float,
+    reference_free: bool = False,
+    length_normalized: bool = False,
+    label_smoothing: float = 0.0,
+    augment: bool = True,
+) -> Callable:
+    """Returns fn(state, ref_params, batch, rng) -> (state, metrics)."""
+
+    def step(state: TrainState, ref_params, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(stage2_loss_fn, has_aux=True)(
+            state.params, ref_params, batch, rng, module,
+            beta, reference_free, length_normalized, label_smoothing, augment,
+        )
+        new_state, grad_norm = _apply_update(state, grads, optimizer, loss)
+        metrics["grad_norm"] = grad_norm
+        metrics["skipped"] = new_state.skipped
+        return new_state, metrics
+
+    return step
+
+
+def make_stage2_eval_step(
+    module, beta: float, reference_free: bool = False, length_normalized: bool = False
+) -> Callable:
+    def step(params, ref_params, batch):
+        images = batch["image"]
+        b = images.shape[0]
+        pol_c, pol_r, ids, mask = _policy_logits_pair(module, params, images, batch, None)
+        pc = sequence_logprobs(pol_c, ids[:b], mask[:b], length_normalized)
+        pr = sequence_logprobs(pol_r, ids[b:], mask[b:], length_normalized)
+        rc = rr = None
+        if not reference_free and ref_params is not None:
+            ref_c, ref_r, _, _ = _policy_logits_pair(module, ref_params, images, batch, None)
+            rc = sequence_logprobs(ref_c, ids[:b], mask[:b], length_normalized)
+            rr = sequence_logprobs(ref_r, ids[b:], mask[b:], length_normalized)
+        loss, metrics = dpo_loss(pc, pr, rc, rr, beta=beta, reference_free=reference_free)
+        metrics["loss"] = loss
+        return metrics
+
+    return step

@@ -1,0 +1,379 @@
+"""Two-stage trainer (reference C14, trainer.py:84-905), TPU-native.
+
+Differences from the reference by design:
+
+* Device placement / DDP / grad-accum / AMP (Accelerate) are replaced by the
+  jitted, donated train steps in :mod:`pgica_tpu.training.train_step` running
+  under an optional :class:`~pgica_tpu.parallel.mesh.MeshContext` — batches
+  sharded over the ``data`` axis, params sharded by the TP/FSDP rules.
+* NaN-safe batch skipping is on-device (no per-step ``.item()`` host syncs,
+  reference trainer.py:481-508); the skip counter is fetched only at logging
+  boundaries.
+* Best-val-loss and early-stopping state are **per stage** (the reference
+  shares one ``best_val_loss`` across stages — SURVEY §2.4.6).
+* Stage 2 runs full DPO against a frozen reference policy snapshotted at
+  stage-2 start (the reference trainer is reference-free — SURVEY §2.4.3);
+  set ``training.stage2.reference_free: true`` for reference-parity behavior.
+* MLflow/wandb logging is guarded so absent packages degrade to console
+  logging (the reference crashes when wandb is None — SURVEY §2.4.5).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pgica_tpu.training.checkpoint import CheckpointManager
+from pgica_tpu.training.optim import create_optimizer
+from pgica_tpu.training.train_step import (
+    TrainState,
+    make_stage1_eval_step,
+    make_stage1_train_step,
+    make_stage2_eval_step,
+    make_stage2_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+try:  # optional experiment tracking (reference trainer.py:224-245)
+    import mlflow  # type: ignore
+except Exception:  # pragma: no cover
+    mlflow = None
+try:
+    import wandb  # type: ignore
+except Exception:  # pragma: no cover
+    wandb = None
+
+
+class PreferenceGuidedTrainer:
+    """Orchestrates Stage 1 (contrastive) and Stage 2 (DPO) training."""
+
+    def __init__(
+        self,
+        model,
+        config,
+        train_loader=None,
+        val_loader=None,
+        preference_train_loader=None,
+        preference_val_loader=None,
+        mesh=None,
+        output_dir: Optional[str] = None,
+    ):
+        self.model = model
+        self.config = config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.preference_train_loader = preference_train_loader
+        self.preference_val_loader = preference_val_loader
+        self.mesh = mesh
+
+        self.output_dir = Path(output_dir or config.get("paths.output_dir", "./outputs"))
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.checkpoints = CheckpointManager(
+            config.get("paths.checkpoint_dir", self.output_dir / "checkpoints")
+        )
+
+        self.global_step = 0
+        self.current_epoch = 0
+        self.best_val_loss: Dict[int, float] = {1: float("inf"), 2: float("inf")}
+        self.early_stopping_patience = config.get("training.early_stopping_patience", 3)
+        self.logging_steps = config.get("training.logging_steps", 100)
+        self.seed = config.get("training.seed", 42)
+        self.history: Dict[str, List] = {"stage1": [], "stage2": []}
+        self._setup_tracking()
+
+    # ------------------------------------------------------------- tracking
+
+    def _setup_tracking(self):
+        self._mlflow_run = None
+        self._wandb_run = None
+        if mlflow is not None:
+            try:
+                mlflow.set_experiment(
+                    self.config.get("logging.mlflow_experiment", "image-captioning-alignment")
+                )
+                self._mlflow_run = mlflow.start_run()
+                mlflow.log_params(
+                    {
+                        "stage1_lr": self.config.get("training.stage1.learning_rate"),
+                        "stage2_lr": self.config.get("training.stage2.learning_rate"),
+                        "projection_dim": self.config.get("model.projection_dim"),
+                        "temperature": self.config.get("model.temperature"),
+                    }
+                )
+            except Exception as e:  # pragma: no cover
+                logger.warning("MLflow unavailable: %s", e)
+        if wandb is not None:
+            try:
+                self._wandb_run = wandb.init(
+                    project=self.config.get("logging.wandb_project", "preference-guided-captioning"),
+                    mode="offline",
+                    config=self.config.to_dict(),
+                )
+            except Exception as e:  # pragma: no cover
+                logger.warning("wandb unavailable: %s", e)
+
+    def _log_metrics(self, metrics: Dict[str, float], step: int, prefix: str = "train"):
+        scalars = {f"{prefix}/{k}": float(v) for k, v in metrics.items()}
+        logger.info("step %d | %s", step, " ".join(f"{k}={v:.4f}" for k, v in scalars.items()))
+        if self._mlflow_run is not None:
+            try:
+                mlflow.log_metrics(scalars, step=step)
+            except Exception:  # pragma: no cover
+                pass
+        if self._wandb_run is not None and wandb is not None and wandb.run:
+            wandb.log(scalars, step=step)
+
+    def _finish_tracking(self):
+        if self._mlflow_run is not None:
+            try:
+                mlflow.end_run()
+            except Exception:  # pragma: no cover
+                pass
+        if self._wandb_run is not None and wandb is not None and wandb.run:
+            wandb.finish()
+
+    # ------------------------------------------------------------- helpers
+
+    def _stage_cfg(self, stage: int) -> Dict[str, Any]:
+        return self.config.get(f"training.stage{stage}", {})
+
+    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        arrays.pop("preference_score", None)
+        if self.mesh is not None:
+            return self.mesh.shard_batch(arrays)
+        return jax.tree.map(jnp.asarray, arrays)
+
+    def _make_optimizer(self, stage: int, steps_per_epoch: int):
+        cfg = self._stage_cfg(stage)
+        accum = int(cfg.get("gradient_accumulation_steps", 1))
+        total_updates = max(1, steps_per_epoch * int(cfg.get("num_epochs", 1)) // max(accum, 1))
+        return create_optimizer(
+            learning_rate=float(cfg.get("learning_rate", 5e-5)),
+            total_steps=total_updates,
+            warmup_steps=int(cfg.get("warmup_steps", 500)),
+            weight_decay=float(cfg.get("weight_decay", 0.01)),
+            max_grad_norm=float(cfg.get("max_grad_norm", 1.0)),
+            gradient_accumulation_steps=accum,
+            params_for_freezing=self.model.params,
+            freeze_vision_backbone=self.model.freeze_vision_backbone,
+            freeze_text_backbone=self.model.freeze_text_backbone,
+        )
+
+    def _shard_state_params(self, params):
+        if self.mesh is None:
+            return params
+        from pgica_tpu.parallel.sharding import shard_params
+
+        return shard_params(params, self.mesh.mesh)
+
+    def _check_early_stopping(self, stage: int, val_loss: float, counter: int) -> int:
+        """Returns updated patience counter; caller stops when it exceeds patience."""
+        if val_loss < self.best_val_loss[stage]:
+            return 0
+        return counter + 1
+
+    # ------------------------------------------------------------- stage 1
+
+    def train_stage1(self) -> Dict[str, Any]:
+        if self.train_loader is None:
+            raise ValueError("Stage 1 requires a contrastive train_loader")
+        cfg = self._stage_cfg(1)
+        num_epochs = int(cfg.get("num_epochs", 1))
+        optimizer = self._make_optimizer(1, len(self.train_loader))
+        params = self._shard_state_params(self.model.params)
+        state = TrainState.create(params, optimizer)
+        temperature = float(self.config.get("model.temperature", 0.5))
+
+        train_step = jax.jit(
+            make_stage1_train_step(self.model.module, optimizer, temperature, augment=True),
+            donate_argnums=(0,),
+        )
+        eval_step = jax.jit(make_stage1_eval_step(self.model.module, temperature))
+        rng = jax.random.PRNGKey(self.seed)
+
+        logger.info("Stage 1: %d epochs x %d steps", num_epochs, len(self.train_loader))
+        patience_counter = 0
+        for epoch in range(num_epochs):
+            self.current_epoch = epoch
+            state, epoch_metrics = self._run_epoch(
+                state, self.train_loader, train_step, rng, stage=1, epoch=epoch
+            )
+            val_loss = self._validate(
+                state.params, self.val_loader, eval_step, stage=1, epoch=epoch
+            )
+            record = {"epoch": epoch, "train_loss": epoch_metrics.get("loss"), "val_loss": val_loss}
+            self.history["stage1"].append(record)
+
+            self.model.params = state.params
+            self.checkpoints.save_epoch(
+                1, epoch, params=state.params,
+                global_step=self.global_step, val_loss=val_loss,
+                config=self.config.to_dict(),
+            )
+            if val_loss is not None:
+                patience_counter = self._check_early_stopping(1, val_loss, patience_counter)
+                if val_loss < self.best_val_loss[1]:
+                    self.best_val_loss[1] = val_loss
+                    self.checkpoints.save_best(
+                        1, params=state.params, epoch=epoch,
+                        global_step=self.global_step, val_loss=val_loss,
+                        config=self.config.to_dict(),
+                    )
+                if patience_counter >= self.early_stopping_patience:
+                    logger.info("Stage 1 early stopping at epoch %d", epoch)
+                    break
+        self.model.params = state.params
+        return {"best_val_loss": self.best_val_loss[1], "history": self.history["stage1"]}
+
+    # ------------------------------------------------------------- stage 2
+
+    def train_stage2(self) -> Dict[str, Any]:
+        cfg = self._stage_cfg(2)
+        num_epochs = int(cfg.get("num_epochs", 1))
+        if num_epochs <= 0:
+            logger.info("Stage 2 disabled (num_epochs=%d)", num_epochs)
+            return {"skipped": True}
+        if self.preference_train_loader is None:
+            raise ValueError("Stage 2 requires a preference_train_loader")
+
+        optimizer = self._make_optimizer(2, len(self.preference_train_loader))
+        params = self._shard_state_params(self.model.params)
+        state = TrainState.create(params, optimizer)
+        reference_free = bool(cfg.get("reference_free", False))
+        # Frozen reference policy = the policy at stage-2 start (standard DPO).
+        # Deep copy: the train state is donated, so the reference must own
+        # separate buffers.
+        ref_params = None if reference_free else jax.tree.map(
+            lambda x: jnp.array(x, copy=True), params
+        )
+
+        train_step = jax.jit(
+            make_stage2_train_step(
+                self.model.module,
+                optimizer,
+                beta=float(cfg.get("dpo_beta", 0.1)),
+                reference_free=reference_free,
+                length_normalized=bool(cfg.get("length_normalized", False)),
+                label_smoothing=float(cfg.get("label_smoothing", 0.0)),
+                augment=True,
+            ),
+            donate_argnums=(0,),
+        )
+        eval_step = jax.jit(
+            make_stage2_eval_step(
+                self.model.module,
+                beta=float(cfg.get("dpo_beta", 0.1)),
+                reference_free=reference_free,
+                length_normalized=bool(cfg.get("length_normalized", False)),
+            )
+        )
+        rng = jax.random.PRNGKey(self.seed + 1)
+
+        logger.info("Stage 2: %d epochs x %d steps", num_epochs, len(self.preference_train_loader))
+        patience_counter = 0
+        for epoch in range(num_epochs):
+            self.current_epoch = epoch
+            state, epoch_metrics = self._run_epoch(
+                state, self.preference_train_loader, train_step, rng,
+                stage=2, epoch=epoch, ref_params=ref_params,
+            )
+            val_loss = self._validate(
+                state.params, self.preference_val_loader, eval_step,
+                stage=2, epoch=epoch, ref_params=ref_params,
+            )
+            record = {"epoch": epoch, "train_loss": epoch_metrics.get("loss"), "val_loss": val_loss}
+            self.history["stage2"].append(record)
+
+            self.model.params = state.params
+            self.checkpoints.save_epoch(
+                2, epoch, params=state.params,
+                global_step=self.global_step, val_loss=val_loss,
+                config=self.config.to_dict(),
+            )
+            if val_loss is not None:
+                patience_counter = self._check_early_stopping(2, val_loss, patience_counter)
+                if val_loss < self.best_val_loss[2]:
+                    self.best_val_loss[2] = val_loss
+                    self.checkpoints.save_best(
+                        2, params=state.params, epoch=epoch,
+                        global_step=self.global_step, val_loss=val_loss,
+                        config=self.config.to_dict(),
+                    )
+                if patience_counter >= self.early_stopping_patience:
+                    logger.info("Stage 2 early stopping at epoch %d", epoch)
+                    break
+        self.model.params = state.params
+        return {"best_val_loss": self.best_val_loss[2], "history": self.history["stage2"]}
+
+    # ------------------------------------------------------------- loops
+
+    def _run_epoch(self, state, loader, train_step, rng, stage, epoch, ref_params=None):
+        losses = []
+        t0 = time.perf_counter()
+        n_items = 0
+        for batch in loader:
+            device_batch = self._device_batch(batch)
+            n_items += device_batch["image"].shape[0]
+            if stage == 1:
+                state, metrics = train_step(state, device_batch, rng)
+            else:
+                state, metrics = train_step(state, ref_params, device_batch, rng)
+            self.global_step += 1
+            if self.global_step % self.logging_steps == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                self._log_metrics(host, self.global_step, prefix=f"stage{stage}/train")
+            losses.append(metrics["loss"])
+        # Single host sync per epoch for the mean loss.
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        dt = time.perf_counter() - t0
+        skipped = int(state.skipped)
+        logger.info(
+            "stage %d epoch %d: train_loss=%.4f (%d steps, %.1f pairs/s, %d NaN-skipped)",
+            stage, epoch, mean_loss, len(losses), n_items / max(dt, 1e-6), skipped,
+        )
+        return state, {"loss": mean_loss, "pairs_per_sec": n_items / max(dt, 1e-6), "skipped": skipped}
+
+    def _validate(self, params, loader, eval_step, stage, epoch, ref_params=None) -> Optional[float]:
+        if loader is None or len(loader) == 0:
+            return None
+        losses = []
+        for batch in loader:
+            device_batch = self._device_batch(batch)
+            if stage == 1:
+                metrics = eval_step(params, device_batch)
+            else:
+                metrics = eval_step(params, ref_params, device_batch)
+            losses.append(metrics["loss"])
+        val_loss = float(jnp.mean(jnp.stack(losses)))
+        self._log_metrics({"loss": val_loss}, self.global_step, prefix=f"stage{stage}/val")
+        return val_loss
+
+    # ------------------------------------------------------------- pipeline
+
+    def train(self) -> Dict[str, Any]:
+        """Run the full two-stage pipeline (reference trainer.py:855-905)."""
+        results: Dict[str, Any] = {}
+        try:
+            if int(self._stage_cfg(1).get("num_epochs", 0)) > 0:
+                results["stage1"] = self.train_stage1()
+            results["stage2"] = self.train_stage2()
+        finally:
+            self._finish_tracking()
+        return results
+
+    def load_checkpoint(self, path) -> Dict[str, Any]:
+        payload = self.checkpoints.restore(path)
+        self.model.params = jax.tree.map(jnp.asarray, payload["params"])
+        meta = payload.get("meta", {})
+        self.global_step = int(meta.get("global_step", 0) or 0)
+        self.current_epoch = int(meta.get("epoch", 0) or 0)
+        logger.info("Restored checkpoint from %s (step %d)", path, self.global_step)
+        return meta

@@ -14,6 +14,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
+# In this environment the axon TPU plugin ignores the JAX_PLATFORMS env var;
+# only the config API reliably pins the backend to host CPU.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must not run over the TPU tunnel"
+
 import json
 from pathlib import Path
 
