@@ -1,0 +1,210 @@
+"""Shared factories for the CLI scripts (reference scripts/train.py:36-250).
+
+Covers logging setup, seeding, tokenizer/model/processor construction from a
+Config, mesh creation, and dataset construction with the reference's
+dummy-data fallback (train.py:141-151, 194-250): when a configured data path
+does not exist, an in-memory synthetic dataset is substituted so every CLI is
+runnable out of the box.
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+import sys
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_DUMMY_CAPTION_PARTS = (
+    ("a", "the", "one"),
+    ("red", "blue", "green", "small", "large", "old", "young"),
+    ("bird", "dog", "cat", "car", "house", "tree", "person", "boat"),
+    ("sitting on", "standing near", "moving past", "resting under"),
+    ("a branch", "the beach", "a table", "the street", "a mountain"),
+)
+
+
+def setup_logging(log_dir: Optional[str] = None, level: str = "INFO", filename: str = "training.log"):
+    handlers = [logging.StreamHandler(sys.stdout)]
+    if log_dir:
+        Path(log_dir).mkdir(parents=True, exist_ok=True)
+        handlers.append(logging.FileHandler(Path(log_dir) / filename))
+    logging.basicConfig(
+        level=getattr(logging, level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+
+
+def set_seed(seed: int = 42):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def resolve_dtype(config):
+    import jax.numpy as jnp
+
+    mp = str(config.get("hardware.mixed_precision", "no")).lower()
+    if mp in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    if mp in ("fp16", "float16"):
+        return jnp.bfloat16  # fp16 is not a TPU-native format; bf16 is the equivalent
+    return jnp.float32
+
+
+def create_tokenizer(config):
+    from pgica_tpu.data.tokenizer import CaptionTokenizer
+
+    return CaptionTokenizer.from_pretrained(config.get("model.text_model", "gpt2-medium"))
+
+
+def create_model(config, tokenizer=None, seed: Optional[int] = None):
+    from pgica_tpu.models import PreferenceGuidedCaptioningModel
+
+    tokenizer = tokenizer or create_tokenizer(config)
+    return PreferenceGuidedCaptioningModel(
+        vision_model=config.get("model.vision_model", "openai/clip-vit-base-patch32"),
+        text_model=config.get("model.text_model", "gpt2-medium"),
+        projection_dim=config.get("model.projection_dim", 512),
+        temperature=config.get("model.temperature", 0.5),
+        dropout=config.get("model.dropout", 0.1),
+        freeze_vision_backbone=config.get("model.freeze_vision_backbone", True),
+        freeze_text_backbone=config.get("model.freeze_text_backbone", False),
+        tokenizer=tokenizer,
+        max_caption_length=config.get("data.max_caption_length", 128),
+        dtype=resolve_dtype(config),
+        remat=bool(config.get("hardware.gradient_checkpointing", False)),
+        seed=seed if seed is not None else config.get("training.seed", 42),
+        image_size=config.get("data.image_size", None),
+    )
+
+
+def create_processors(config, tokenizer=None):
+    from pgica_tpu.data.preprocessing import ImageProcessor, TextProcessor
+
+    tokenizer = tokenizer or create_tokenizer(config)
+    image_processor = ImageProcessor(image_size=config.get("data.image_size", 224))
+    text_processor = TextProcessor(
+        tokenizer=tokenizer, max_length=config.get("data.max_caption_length", 128)
+    )
+    return image_processor, text_processor
+
+
+def create_mesh(config):
+    from pgica_tpu.parallel.mesh import MeshContext
+
+    return MeshContext.from_config(config)
+
+
+# ------------------------------------------------------------------ dummy data
+
+
+def _dummy_caption(rng: np.random.Generator) -> str:
+    return " ".join(rng.choice(part) for part in _DUMMY_CAPTION_PARTS)
+
+
+class DummyConceptualDataset:
+    """In-memory synthetic (image, caption) data (reference train.py:194-250)."""
+
+    def __init__(self, image_processor, text_processor, num_samples: int = 64, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        size = image_processor.image_size
+        self.images = rng.normal(0, 1, (num_samples, size, size, 3)).astype(np.float32)
+        self.captions = [_dummy_caption(rng) for _ in range(num_samples)]
+        self.text_processor = text_processor
+
+    def __len__(self):
+        return len(self.captions)
+
+    def __getitem__(self, i):
+        enc = self.text_processor.encode_caption(self.captions[i])
+        return {
+            "image": self.images[i],
+            "caption_ids": enc["input_ids"],
+            "caption_mask": enc["attention_mask"],
+            "raw_caption": self.captions[i],
+            "image_path": f"dummy_{i}.jpg",
+        }
+
+
+class DummyPreferenceDataset:
+    """In-memory synthetic preference pairs."""
+
+    def __init__(self, image_processor, text_processor, num_samples: int = 64, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        size = image_processor.image_size
+        self.images = rng.normal(0, 1, (num_samples, size, size, 3)).astype(np.float32)
+        self.preferred = [_dummy_caption(rng) for _ in range(num_samples)]
+        self.rejected = [" ".join(_dummy_caption(rng).split()[:2]) for _ in range(num_samples)]
+        self.text_processor = text_processor
+
+    def __len__(self):
+        return len(self.preferred)
+
+    def __getitem__(self, i):
+        p = self.text_processor.encode_caption(self.preferred[i])
+        r = self.text_processor.encode_caption(self.rejected[i])
+        return {
+            "image": self.images[i],
+            "preferred_ids": p["input_ids"],
+            "preferred_mask": p["attention_mask"],
+            "rejected_ids": r["input_ids"],
+            "rejected_mask": r["attention_mask"],
+            "preference_score": np.float32(0.9),
+            "raw_preferred": self.preferred[i],
+            "raw_rejected": self.rejected[i],
+            "image_path": f"dummy_{i}.jpg",
+        }
+
+
+def create_loaders_with_fallback(
+    config, image_processor, text_processor, kind: str = "conceptual",
+    dummy_samples: int = 64,
+) -> Tuple:
+    """(train, val, test) loaders from real data, or the dummy fallback."""
+    from pgica_tpu.data.loader import (
+        ConceptualCaptionsDataset,
+        DataLoader,
+        UltraFeedbackDataset,
+        create_dataloaders,
+    )
+
+    if kind == "conceptual":
+        data_path = Path(config.get("data.conceptual_captions_path", ""))
+        dataset_class = ConceptualCaptionsDataset
+        batch_size = config.get("training.stage1.batch_size", 8)
+    else:
+        data_path = Path(config.get("data.ultrafeedback_path", ""))
+        dataset_class = UltraFeedbackDataset
+        batch_size = config.get("training.stage2.batch_size", 8)
+
+    seed = config.get("training.seed", 42)
+    if data_path and data_path.exists():
+        return create_dataloaders(
+            dataset_class,
+            data_path,
+            image_processor,
+            text_processor,
+            batch_size=batch_size,
+            train_split=config.get("data.train_split", 0.8),
+            val_split=config.get("data.val_split", 0.1),
+            test_split=config.get("data.test_split", 0.1),
+            seed=seed,
+        )
+
+    logger.warning("Data path %s not found; using in-memory dummy %s data", data_path, kind)
+    dummy_cls = DummyConceptualDataset if kind == "conceptual" else DummyPreferenceDataset
+    n_val = max(dummy_samples // 8, batch_size)
+    train = dummy_cls(image_processor, text_processor, dummy_samples, seed)
+    val = dummy_cls(image_processor, text_processor, n_val, seed + 1)
+    test = dummy_cls(image_processor, text_processor, n_val, seed + 2)
+    return (
+        DataLoader(train, batch_size, shuffle=True, drop_last=True, seed=seed),
+        DataLoader(val, batch_size),
+        DataLoader(test, batch_size),
+    )
