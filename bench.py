@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Throughput benchmark: image-caption pairs/sec/chip on the flagship model.
+
+Runs on whatever accelerator JAX exposes (the real TPU under axon). Measures
+the Stage-1 contrastive train step (the dominant phase of the reference's
+dual-stage pipeline) on synthetic data at reference-scale shapes:
+frozen CLIP ViT-B/32 + GPT-2 Medium, 224x224 images, 128-token captions,
+bf16 compute, remat, donated buffers.
+
+Baseline derivation (BASELINE.md): the reference trains stage 1 on an
+RTX 3090 in ~80 of its ~95 total minutes — 25K samples x 10 epochs =
+250K pairs => ~52 pairs/sec. ``vs_baseline`` is ours / 52.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+BASELINE_PAIRS_PER_SEC = 52.0  # RTX 3090, reference stage 1 (see docstring)
+
+
+def run_bench(batch_size: int, steps: int = 10, warmup: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pgica_tpu.data.tokenizer import CaptionTokenizer
+    from pgica_tpu.models.model import build_module
+    from pgica_tpu.training.optim import create_optimizer
+    from pgica_tpu.training.train_step import TrainState, make_stage1_train_step
+
+    tokenizer = CaptionTokenizer()
+    module = build_module(
+        vision_model="openai/clip-vit-base-patch32",
+        text_model="gpt2-medium",
+        projection_dim=512,
+        temperature=0.5,
+        vocab_size=tokenizer.vocab_size,
+        max_caption_length=128,
+        dtype=jnp.bfloat16,
+        remat=True,
+    )
+    print(f"backend={jax.default_backend()} devices={jax.devices()}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 250, (batch_size, 128)).astype(np.int32))
+    mask = jnp.ones((batch_size, 128), jnp.int32)
+
+    t0 = time.time()
+    params = module.init(jax.random.PRNGKey(0), images[:1], ids[:1], mask[:1], mode="contrastive")[
+        "params"
+    ]
+    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    opt = create_optimizer(
+        5e-5, total_steps=1000, warmup_steps=10,
+        params_for_freezing=params, freeze_vision_backbone=True,
+    )
+    state = TrainState.create(params, opt)
+    step = jax.jit(
+        make_stage1_train_step(module, opt, temperature=0.5, augment=True),
+        donate_argnums=(0,),
+    )
+    batch = {"image": images, "caption_ids": ids, "caption_mask": mask}
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    for _ in range(warmup):
+        state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    print(f"warmup ({warmup} steps incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    pairs_per_sec = batch_size * steps / dt
+    print(
+        f"{steps} steps x batch {batch_size} in {dt:.2f}s -> {pairs_per_sec:.1f} pairs/s "
+        f"(loss={float(metrics['loss']):.4f})",
+        file=sys.stderr,
+    )
+    return pairs_per_sec
+
+
+def main():
+    batch_sizes = [64, 32, 16, 8]
+    value = None
+    for bs in batch_sizes:
+        try:
+            value = run_bench(bs)
+            break
+        except Exception as e:
+            print(f"batch {bs} failed ({type(e).__name__}: {e}); retrying smaller", file=sys.stderr)
+    if value is None:
+        print(json.dumps({"metric": "stage1 pairs/sec/chip", "value": 0.0, "unit": "pairs/s", "vs_baseline": 0.0}))
+        return 1
+    n_chips = 1
+    try:
+        import jax
+
+        n_chips = max(1, len(jax.devices()))
+    except Exception:
+        pass
+    per_chip = value / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "stage1 pairs/sec/chip (ViT-B/32 + GPT-2 Medium, bs auto)",
+                "value": round(per_chip, 2),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(per_chip / BASELINE_PAIRS_PER_SEC, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -107,6 +107,8 @@ class CaptionTokenizer:
                 self.vocab[tok] = base + i
         self.id_to_token = {i: t for t, i in self.vocab.items()}
         self._cache: Dict[str, List[str]] = {}
+        self._native = None  # lazily-built C++ encoder (see native_bpe.py)
+        self._native_tried = False
 
     # -- special token properties ------------------------------------------------
 
@@ -164,14 +166,31 @@ class CaptionTokenizer:
 
     # -- encode / decode ------------------------------------------------------------
 
+    def _native_encoder(self):
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from pgica_tpu.data.native_bpe import NativeBPE
+
+                candidate = NativeBPE(self.vocab, self._merges, self.unk_token_id)
+                self._native = candidate if candidate.available else None
+            except Exception:
+                self._native = None
+        return self._native
+
     def encode(self, text: str, add_bos: bool = False, add_eos: bool = False) -> List[int]:
         ids: List[int] = []
         if add_bos:
             ids.append(self.bos_token_id)
-        unk = self.unk_token_id
-        for piece in _pretokenize(text):
-            for sym in self._bpe(piece):
-                ids.append(self.vocab.get(sym, unk))
+        native = self._native_encoder()
+        body = native.encode(text) if native is not None else None
+        if body is None:  # pure-Python reference path (always used for non-ASCII)
+            body = []
+            unk = self.unk_token_id
+            for piece in _pretokenize(text):
+                for sym in self._bpe(piece):
+                    body.append(self.vocab.get(sym, unk))
+        ids.extend(body)
         if add_eos:
             ids.append(self.eos_token_id)
         return ids

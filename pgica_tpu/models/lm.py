@@ -55,7 +55,7 @@ class TransformerLM(nn.Module):
             )
         block_cls = TransformerBlock
         if self.remat:
-            block_cls = nn.remat(TransformerBlock, static_argnums=(4,))
+            block_cls = nn.remat(TransformerBlock, static_argnums=(5,))
         self.blocks = [
             block_cls(
                 hidden_size=cfg.hidden_size,

@@ -56,7 +56,7 @@ class VisionTransformer(nn.Module):
 
         block_cls = TransformerBlock
         if self.remat:
-            block_cls = nn.remat(TransformerBlock, static_argnums=(4,))
+            block_cls = nn.remat(TransformerBlock, static_argnums=(5,))
         for i in range(cfg.num_layers):
             x, _ = block_cls(
                 hidden_size=cfg.hidden_size,

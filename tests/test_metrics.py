@@ -1,0 +1,181 @@
+"""Metric suite tests (reference C15/C16 behavior)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from pgica_tpu.evaluation.metrics import CaptioningMetrics, word_tokenize
+
+
+@pytest.fixture(scope="module")
+def metrics():
+    return CaptioningMetrics()
+
+
+PREDS = ["a red bird on a branch", "two dogs in a park"]
+REFS = [["a red bird sitting on a branch"], ["two dogs playing in the park"]]
+
+
+class TestTokenizer:
+    def test_lowercase_and_punct(self):
+        assert word_tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+
+
+class TestBleu:
+    def test_perfect_match(self, metrics):
+        out = metrics.compute_bleu_scores(REFS[0], [REFS[0]])
+        assert out["bleu_4"] == pytest.approx(1.0)
+
+    def test_partial_match_ordering(self, metrics):
+        out = metrics.compute_bleu_scores(PREDS, REFS)
+        assert out["bleu_1"] > out["bleu_2"] > out["bleu_4"]
+        assert 0 < out["bleu_1"] <= 1
+
+    def test_no_match(self, metrics):
+        out = metrics.compute_bleu_scores(["zzz qqq"], [["aaa bbb"]])
+        assert out["bleu_1"] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestRouge:
+    def test_scores_in_range(self, metrics):
+        out = metrics.compute_rouge_scores(PREDS, REFS)
+        for k in ("rouge_1", "rouge_2", "rouge_l"):
+            assert 0 <= out[k] <= 1
+        assert out["rouge_1"] >= out["rouge_2"]
+
+    def test_builtin_close_to_package(self, metrics):
+        pkg = metrics.compute_rouge_scores(PREDS, REFS)
+        builtin = metrics._rouge_builtin(PREDS, REFS)
+        # stemming differences allowed; same ballpark
+        assert abs(pkg["rouge_1"] - builtin["rouge_1"]) < 0.15
+
+
+class TestMeteor:
+    def test_perfect(self, metrics):
+        out = metrics.compute_meteor_score(REFS[0], [REFS[0]])
+        assert out["meteor"] > 0.95
+
+    def test_partial_between_zero_and_one(self, metrics):
+        out = metrics.compute_meteor_score(PREDS, REFS)
+        assert 0 < out["meteor"] < 1
+
+    def test_stem_matching(self, metrics):
+        exact = metrics._meteor_pair("dogs playing", "dogs playing")
+        stemmed = metrics._meteor_pair("dog plays", "dogs playing")
+        assert 0 < stemmed <= exact
+
+
+class TestCider:
+    def test_perfect_is_ten(self, metrics):
+        # single doc: idf = log(1/(1+eps)) ~ 0... need 2+ docs for signal
+        preds = ["a cat on a mat", "a dog in a yard"]
+        refs = [["a cat on a mat"], ["a dog in a yard"]]
+        score = metrics.compute_cider_score(preds, refs)
+        assert score == pytest.approx(10.0, rel=1e-3)
+
+    def test_length_penalty(self, metrics):
+        refs = [["a cat sat on the mat today"], ["dogs run fast in the park"]]
+        short = metrics.compute_cider_score(["a cat", "dogs run"], refs)
+        close = metrics.compute_cider_score(
+            ["a cat sat on the mat", "dogs run fast in the park"], refs
+        )
+        assert close > short
+
+    def test_empty_prediction(self, metrics):
+        score = metrics.compute_cider_score([""], [["a cat"]])
+        assert score == pytest.approx(0.0, abs=1e-6)
+
+
+class TestBertScore:
+    def test_chargram_proxy(self, metrics):
+        out = metrics.compute_bert_score(PREDS, REFS)
+        assert out["bert_score_proxy"] == 1.0
+        assert 0 < out["bert_score_f1"] <= 1
+        perfect = metrics.compute_bert_score(REFS[0], [REFS[0]])
+        assert perfect["bert_score_f1"] == pytest.approx(1.0)
+
+
+class TestPreference:
+    def test_win_rate(self, metrics):
+        out = metrics.compute_preference_metrics(
+            model_outputs=["a red bird on a branch"],
+            preferred_captions=["a red bird sitting on the branch"],
+            rejected_captions=["some unrelated words entirely"],
+            preference_scores=[0.9],
+        )
+        assert out["preference_win_rate"] == 1.0
+        assert out["preference_margin"] > 0
+
+    def test_correlation(self, metrics):
+        out = metrics.compute_preference_metrics(
+            model_outputs=["a b c", "x y z", "a b"],
+            preferred_captions=["a b c", "q w e", "a b"],
+            rejected_captions=["m n", "x y z", "m n"],
+            preference_scores=[0.9, 0.2, 0.8],
+        )
+        assert -1 <= out["human_preference_correlation"] <= 1
+
+
+class TestDiversity:
+    def test_identical_captions(self, metrics):
+        out = metrics.compute_diversity_metrics(["same words here"] * 4)
+        assert out["unique_captions"] == pytest.approx(0.25)
+
+    def test_all_unique(self, metrics):
+        out = metrics.compute_diversity_metrics(["aa bb", "cc dd", "ee ff"])
+        assert out["unique_captions"] == 1.0
+        assert out["distinct_1"] == 1.0
+
+
+class TestAggregate:
+    def test_all_metrics_keys(self, metrics):
+        out = metrics.compute_all_metrics(PREDS, REFS)
+        for key in ("bleu_4", "rouge_l", "meteor", "cider_score", "bert_score_f1", "distinct_1"):
+            assert key in out
+
+    def test_string_references_listified(self, metrics):
+        flat = metrics.compute_all_metrics(PREDS, [r[0] for r in REFS])
+        nested = metrics.compute_all_metrics(PREDS, REFS)
+        assert flat["bleu_4"] == pytest.approx(nested["bleu_4"])
+
+
+class TestRunner:
+    def test_run_evaluation_end_to_end(self, tmp_path, config):
+        """EvaluationRunner over a dummy loader writes artifacts + latencies."""
+        from pgica_tpu.data.loader import DataLoader
+        from pgica_tpu.data.tokenizer import CaptionTokenizer
+        from pgica_tpu.evaluation.runner import EvaluationRunner
+        from pgica_tpu.models import PreferenceGuidedCaptioningModel
+        from pgica_tpu.utils.factories import DummyConceptualDataset, create_processors
+
+        tok = CaptionTokenizer()
+        model = PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=16,
+            tokenizer=tok, max_caption_length=12, image_size=32, seed=0,
+        )
+        config.set("evaluation.generate_config.max_length", 8)
+        config.set("evaluation.generate_config.num_beams", 1)
+        config.set("evaluation.generate_config.do_sample", False)
+        ip, tp = create_processors(config, tok)
+        ip.image_size = 32
+        loader = DataLoader(DummyConceptualDataset(ip, tp, 8), 4, prefetch=0)
+        runner = EvaluationRunner(model, config, output_dir=tmp_path)
+        result = runner.run_evaluation(loader)
+        assert result["num_samples"] == 8
+        assert "cider_score" in result["metrics"]
+        assert "latency_ms_p95" in result["metrics"]
+        assert (tmp_path / "predictions.json").exists()
+        assert (tmp_path / "metrics.json").exists()
+        saved = json.loads((tmp_path / "metrics.json").read_text())
+        assert "bleu_4" in saved
+
+    def test_human_eval_aggregation(self, config):
+        from pgica_tpu.evaluation.runner import EvaluationRunner
+
+        runner = EvaluationRunner(model=None, config=config, output_dir="/tmp/he")
+        out = runner.aggregate_human_eval(
+            [{"helpfulness": 4, "accuracy": 5}, {"helpfulness": 5, "accuracy": 3}]
+        )
+        assert out["human_eval_helpfulness_mean"] == pytest.approx(4.5)
+        assert out["human_eval_count"] == 2

@@ -1,0 +1,58 @@
+"""Native C++ BPE encoder parity with the pure-Python reference path."""
+
+import numpy as np
+import pytest
+
+from pgica_tpu.data.native_bpe import NativeBPE, get_library
+from pgica_tpu.data.tokenizer import CaptionTokenizer, _pretokenize
+
+pytestmark = pytest.mark.skipif(
+    get_library() is None, reason="native BPE library unavailable (g++ build failed)"
+)
+
+ASCII_TEXTS = [
+    "a red bird sitting on a branch",
+    "Hello, World! 123 test-case",
+    "  leading spaces and   multiple   gaps",
+    "punctuation... everywhere!!! (really?)",
+    "x",
+    "",
+    "the quick brown fox jumps over the lazy dog 42 times",
+]
+
+
+def _python_encode(tok: CaptionTokenizer, text: str):
+    ids = []
+    for piece in _pretokenize(text):
+        for sym in tok._bpe(piece):
+            ids.append(tok.vocab.get(sym, tok.unk_token_id))
+    return ids
+
+
+class TestNativeParity:
+    def test_byte_fallback_vocab(self):
+        tok = CaptionTokenizer()
+        native = NativeBPE(tok.vocab, tok._merges, tok.unk_token_id)
+        assert native.available
+        for text in ASCII_TEXTS:
+            assert native.encode(text) == _python_encode(tok, text), repr(text)
+
+    def test_trained_bpe_vocab(self):
+        corpus = ["the cat sat on the mat"] * 30 + ["dogs playing in the park"] * 30
+        tok = CaptionTokenizer.train_bpe(corpus, vocab_size=350)
+        native = NativeBPE(tok.vocab, tok._merges, tok.unk_token_id)
+        assert native.available
+        for text in ASCII_TEXTS + ["the cat playing in the mat park"]:
+            assert native.encode(text) == _python_encode(tok, text), repr(text)
+
+    def test_non_ascii_returns_none(self):
+        tok = CaptionTokenizer()
+        native = NativeBPE(tok.vocab, tok._merges, tok.unk_token_id)
+        assert native.encode("café ☕") is None  # unicode goes to the Python path
+
+    def test_tokenizer_integration_roundtrip(self):
+        tok = CaptionTokenizer()
+        text = "native path roundtrip test 99"
+        ids = tok.encode(text)
+        assert tok._native is not None  # native engaged for ASCII
+        assert tok.decode(ids) == text

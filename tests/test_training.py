@@ -1,0 +1,246 @@
+"""Trainer and train-step tests (mirrors reference tests/test_training.py).
+
+The reference mocks Accelerate (test_training.py:62-77); here the distributed
+seam is a REAL 8-device CPU mesh exercising actual collectives.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pgica_tpu.data.loader import DataLoader
+from pgica_tpu.data.tokenizer import CaptionTokenizer
+from pgica_tpu.models import PreferenceGuidedCaptioningModel
+from pgica_tpu.training.optim import create_optimizer, freeze_labels, warmup_cosine_schedule
+from pgica_tpu.training.train_step import (
+    TrainState,
+    make_stage1_train_step,
+    make_stage2_train_step,
+    stage1_loss_fn,
+)
+from pgica_tpu.training.trainer import PreferenceGuidedTrainer
+from pgica_tpu.utils.config import Config
+
+SEQ, PROJ, IMG, B = 10, 16, 32, 4
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    return CaptionTokenizer()
+
+
+@pytest.fixture()
+def model(tokenizer):
+    return PreferenceGuidedCaptioningModel(
+        vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=PROJ,
+        tokenizer=tokenizer, max_caption_length=SEQ, image_size=IMG, seed=0,
+    )
+
+
+def contrastive_batch(tokenizer, n=B, seed=0):
+    rng = np.random.default_rng(seed)
+    ids, mask = tokenizer.encode_batch([f"caption {i} words" for i in range(n)], SEQ)
+    return {
+        "image": jnp.asarray(rng.normal(size=(n, IMG, IMG, 3)).astype(np.float32)),
+        "caption_ids": jnp.asarray(ids),
+        "caption_mask": jnp.asarray(mask),
+    }
+
+
+def preference_batch(tokenizer, n=B, seed=0):
+    rng = np.random.default_rng(seed)
+    p_ids, p_mask = tokenizer.encode_batch([f"a good long caption {i}" for i in range(n)], SEQ)
+    r_ids, r_mask = tokenizer.encode_batch([f"bad {i}" for i in range(n)], SEQ)
+    return {
+        "image": jnp.asarray(rng.normal(size=(n, IMG, IMG, 3)).astype(np.float32)),
+        "preferred_ids": jnp.asarray(p_ids),
+        "preferred_mask": jnp.asarray(p_mask),
+        "rejected_ids": jnp.asarray(r_ids),
+        "rejected_mask": jnp.asarray(r_mask),
+    }
+
+
+class TestOptim:
+    def test_schedule_warmup_and_decay(self):
+        sched = warmup_cosine_schedule(1e-3, warmup_steps=10, total_steps=100)
+        assert float(sched(0)) == pytest.approx(0.0, abs=1e-6)
+        assert float(sched(10)) == pytest.approx(1e-3, rel=1e-3)
+        assert float(sched(99)) < 1e-4
+
+    def test_freeze_labels(self, model):
+        labels = freeze_labels(model.params, True, False)
+        assert labels["vision_encoder"]["backbone"]["cls_token"] == "frozen"
+        assert labels["text_encoder"]["backbone"]["wte"]["embedding"] == "train"
+        assert labels["caption_decoder"]["lm"]["wte"]["embedding"] == "train"
+
+    def test_frozen_params_unchanged_after_step(self, model, tokenizer):
+        opt = create_optimizer(
+            1e-2, total_steps=10, warmup_steps=1, params_for_freezing=model.params,
+            freeze_vision_backbone=True,
+        )
+        state = TrainState.create(model.params, opt)
+        step = jax.jit(make_stage1_train_step(model.module, opt, 0.5, augment=False))
+        before_frozen = np.asarray(model.params["vision_encoder"]["backbone"]["cls_token"])
+        before_train = np.asarray(model.params["text_encoder"]["projection"]["fc1"]["kernel"])
+        for _ in range(3):  # step 0 has lr=0 (warmup), so take a few steps
+            state, _ = step(state, contrastive_batch(tokenizer), jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(
+            np.asarray(state.params["vision_encoder"]["backbone"]["cls_token"]), before_frozen
+        )
+        assert not np.allclose(
+            np.asarray(state.params["text_encoder"]["projection"]["fc1"]["kernel"]), before_train
+        )
+
+
+class TestStage1Step:
+    def test_loss_decreases_over_steps(self, model, tokenizer):
+        opt = create_optimizer(5e-3, total_steps=30, warmup_steps=1)
+        state = TrainState.create(model.params, opt)
+        step = jax.jit(make_stage1_train_step(model.module, opt, 0.5, augment=False))
+        batch = contrastive_batch(tokenizer)
+        rng = jax.random.PRNGKey(0)
+        first = None
+        for i in range(12):
+            state, metrics = step(state, batch, rng)
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first
+
+    def test_nan_batch_skipped(self, model, tokenizer):
+        """NaN input -> update skipped, params unchanged, counter bumped."""
+        opt = create_optimizer(1e-3, total_steps=10, warmup_steps=1)
+        state = TrainState.create(model.params, opt)
+        step = jax.jit(make_stage1_train_step(model.module, opt, 0.5, augment=False))
+        batch = contrastive_batch(tokenizer)
+        bad = dict(batch)
+        bad["image"] = batch["image"].at[0, 0, 0, 0].set(jnp.nan)
+        before = np.asarray(state.params["text_encoder"]["projection"]["fc1"]["kernel"])
+        state, metrics = step(state, bad, jax.random.PRNGKey(0))
+        assert int(state.skipped) == 1
+        np.testing.assert_array_equal(
+            np.asarray(state.params["text_encoder"]["projection"]["fc1"]["kernel"]), before
+        )
+        # recovery: a clean batch still trains
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert int(state.skipped) == 1
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_augmentation_uses_rng(self, model, tokenizer):
+        loss_a = stage1_loss_fn(
+            model.params, contrastive_batch(tokenizer), jax.random.PRNGKey(0),
+            model.module, 0.5, True,
+        )[0]
+        loss_b = stage1_loss_fn(
+            model.params, contrastive_batch(tokenizer), jax.random.PRNGKey(1),
+            model.module, 0.5, True,
+        )[0]
+        assert float(loss_a) != float(loss_b)
+
+
+class TestStage2Step:
+    def test_dpo_step_runs_and_improves_margin(self, model, tokenizer):
+        opt = create_optimizer(5e-3, total_steps=30, warmup_steps=1)
+        params = model.params
+        ref_params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        state = TrainState.create(params, opt)
+        step = jax.jit(
+            make_stage2_train_step(model.module, opt, beta=0.5, augment=False)
+        )
+        batch = preference_batch(tokenizer)
+        margins = []
+        for _ in range(10):
+            state, metrics = step(state, ref_params, batch, jax.random.PRNGKey(0))
+            margins.append(float(metrics["reward_margin"]))
+        assert margins[-1] > margins[0]
+        assert float(metrics["loss"]) < float(np.log(2)) + 0.1  # below chance
+
+    def test_reference_free_variant(self, model, tokenizer):
+        opt = create_optimizer(1e-3, total_steps=10, warmup_steps=1)
+        state = TrainState.create(model.params, opt)
+        step = jax.jit(
+            make_stage2_train_step(
+                model.module, opt, beta=0.1, reference_free=True,
+                length_normalized=True, augment=False,
+            )
+        )
+        state, metrics = step(state, None, preference_batch(tokenizer), jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class _ListDS:
+    def __init__(self, items):
+        self.items = items
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+@pytest.fixture
+def tiny_trainer(model, tokenizer, config_dict, tmp_path):
+    config_dict["training"]["stage1"]["num_epochs"] = 1
+    config_dict["training"]["stage2"]["num_epochs"] = 1
+    config_dict["paths"] = {
+        "output_dir": str(tmp_path / "out"),
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+    }
+    cfg = Config(config_dict=config_dict)
+
+    def np_batchify(batch_fn, n_batches):
+        items = []
+        for b in range(n_batches):
+            batch = batch_fn(tokenizer, n=B, seed=b)
+            for i in range(B):
+                items.append({k: np.asarray(v[i]) for k, v in batch.items()})
+        return items
+
+    c_items = np_batchify(contrastive_batch, 2)
+    p_items = np_batchify(preference_batch, 2)
+    return PreferenceGuidedTrainer(
+        model, cfg,
+        train_loader=DataLoader(_ListDS(c_items), B, shuffle=True, drop_last=True, prefetch=0),
+        val_loader=DataLoader(_ListDS(c_items[:B]), B, prefetch=0),
+        preference_train_loader=DataLoader(_ListDS(p_items), B, drop_last=True, prefetch=0),
+        preference_val_loader=DataLoader(_ListDS(p_items[:B]), B, prefetch=0),
+        output_dir=str(tmp_path / "out"),
+    )
+
+
+class TestTrainer:
+    def test_full_pipeline(self, tiny_trainer):
+        results = tiny_trainer.train()
+        assert np.isfinite(results["stage1"]["best_val_loss"])
+        assert np.isfinite(results["stage2"]["best_val_loss"])
+        # per-stage best tracking (fixes reference shared-state bug §2.4.6)
+        assert tiny_trainer.best_val_loss[1] != float("inf")
+        assert tiny_trainer.best_val_loss[2] != float("inf")
+
+    def test_checkpoint_roundtrip(self, tiny_trainer):
+        tiny_trainer.train_stage1()
+        before = np.asarray(
+            tiny_trainer.model.params["text_encoder"]["projection"]["fc1"]["kernel"]
+        ).copy()
+        # clobber params, restore, verify
+        tiny_trainer.model.params = jax.tree.map(jnp.zeros_like, tiny_trainer.model.params)
+        meta = tiny_trainer.load_checkpoint("best_model_stage1")
+        after = np.asarray(
+            tiny_trainer.model.params["text_encoder"]["projection"]["fc1"]["kernel"]
+        )
+        np.testing.assert_array_equal(before, after)
+        assert meta["stage"] == 1
+
+    def test_early_stopping_counter(self, tiny_trainer):
+        tiny_trainer.best_val_loss[1] = 0.1
+        assert tiny_trainer._check_early_stopping(1, 0.5, 0) == 1
+        assert tiny_trainer._check_early_stopping(1, 0.5, 1) == 2
+        assert tiny_trainer._check_early_stopping(1, 0.05, 2) == 0
+
+    def test_stage2_disabled(self, tiny_trainer):
+        tiny_trainer.config.set("training.stage2.num_epochs", 0)
+        out = tiny_trainer.train_stage2()
+        assert out.get("skipped") is True
