@@ -1,0 +1,183 @@
+"""HF-torch -> pgica_tpu weight converters.
+
+Imports pretrained (or randomly-initialized, for parity testing) Hugging Face
+checkpoints into this framework's Flax parameter trees:
+
+* :func:`convert_gpt2` — ``GPT2Model``/``GPT2LMHeadModel`` state dict ->
+  :class:`~pgica_tpu.models.lm.TransformerLM` params. Handles GPT-2's Conv1D
+  layout (weights stored (in, out) — NOT transposed like nn.Linear) and the
+  fused c_attn qkv projection.
+* :func:`convert_clip_vision` — ``CLIPVisionModel`` state dict ->
+  :class:`~pgica_tpu.models.vit.VisionTransformer` params. Handles torch's
+  OIHW conv layout -> flax HWIO and the class/position embeddings.
+* :func:`convert_llama` — ``LlamaModel`` state dict -> TransformerLM (llama
+  arch) params, for the scaled decoder config.
+
+These make output-fidelity parity against the PyTorch reference testable:
+tests/test_convert.py builds HF models from configs (offline, random init),
+converts, and asserts logits/hidden-state agreement to float tolerance.
+NOTE on RoPE: HF Llama applies rotary embeddings in "split-half" layout
+(x[..., :d/2], x[..., d/2:]) while this framework uses interleaved pairs;
+conversion permutes q/k projection rows so outputs match exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from pgica_tpu.models.presets import LMConfig, ViTConfig
+
+
+def _np(tensor) -> np.ndarray:
+    try:
+        return tensor.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(tensor)
+
+
+def _ln(sd: Dict, prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def convert_gpt2(state_dict: Dict, config: LMConfig) -> Dict:
+    """GPT-2 (Conv1D layout) -> TransformerLM params."""
+    sd = {k.removeprefix("transformer."): v for k, v in state_dict.items()}
+    h, n_head = config.hidden_size, config.num_heads
+    d = h // n_head
+    params: Dict = {
+        "wte": {"embedding": _np(sd["wte.weight"])},
+        "wpe": {"embedding": _np(sd["wpe.weight"])},
+        "ln_f": _ln(sd, "ln_f"),
+    }
+    for i in range(config.num_layers):
+        p = f"h.{i}"
+        # Conv1D stores (in, out): c_attn (h, 3h) -> split to q/k/v (h, h)
+        c_attn_w = _np(sd[f"{p}.attn.c_attn.weight"])
+        c_attn_b = _np(sd[f"{p}.attn.c_attn.bias"])
+        qw, kw, vw = np.split(c_attn_w, 3, axis=1)
+        qb, kb, vb = np.split(c_attn_b, 3, axis=0)
+        out_w = _np(sd[f"{p}.attn.c_proj.weight"])  # (h, h), (in, out)
+        params[f"block_{i}"] = {
+            "LayerNorm_0": _ln(sd, f"{p}.ln_1"),
+            "LayerNorm_1": _ln(sd, f"{p}.ln_2"),
+            "attn": {
+                "q_proj": {"kernel": qw.reshape(h, n_head, d), "bias": qb.reshape(n_head, d)},
+                "k_proj": {"kernel": kw.reshape(h, n_head, d), "bias": kb.reshape(n_head, d)},
+                "v_proj": {"kernel": vw.reshape(h, n_head, d), "bias": vb.reshape(n_head, d)},
+                "out_proj": {
+                    "kernel": out_w.reshape(n_head, d, h),
+                    "bias": _np(sd[f"{p}.attn.c_proj.bias"]),
+                },
+            },
+            "mlp": {
+                "fc_in": {
+                    "kernel": _np(sd[f"{p}.mlp.c_fc.weight"]),
+                    "bias": _np(sd[f"{p}.mlp.c_fc.bias"]),
+                },
+                "fc_out": {
+                    "kernel": _np(sd[f"{p}.mlp.c_proj.weight"]),
+                    "bias": _np(sd[f"{p}.mlp.c_proj.bias"]),
+                },
+            },
+        }
+    return params
+
+
+def convert_clip_vision(state_dict: Dict, config: ViTConfig) -> Dict:
+    """CLIPVisionModel -> VisionTransformer params."""
+    sd = {k.removeprefix("vision_model."): v for k, v in state_dict.items()}
+    h, n_head = config.hidden_size, config.num_heads
+    d = h // n_head
+
+    def linear(prefix: str, out_shape=None, in_heads=False):
+        w = _np(sd[f"{prefix}.weight"]).T  # torch Linear (out,in) -> (in,out)
+        b = _np(sd[f"{prefix}.bias"])
+        if out_shape == "qkv":  # (h, h) -> (h, heads, d)
+            return {"kernel": w.reshape(h, n_head, d), "bias": b.reshape(n_head, d)}
+        if out_shape == "out":  # (h, h) with heads on input side -> (heads, d, h)
+            return {"kernel": w.reshape(n_head, d, h), "bias": b}
+        return {"kernel": w, "bias": b}
+
+    params: Dict = {
+        "cls_token": _np(sd["embeddings.class_embedding"]).reshape(1, 1, h),
+        "pos_embed": _np(sd["embeddings.position_embedding.weight"])[None],
+        "patch_embed": {
+            # torch conv OIHW -> flax HWIO
+            "kernel": _np(sd["embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0)
+        },
+        "pre_ln": _ln(sd, "pre_layrnorm"),  # (sic) HF attribute name
+        "post_ln": _ln(sd, "post_layernorm"),
+    }
+    for i in range(config.num_layers):
+        p = f"encoder.layers.{i}"
+        params[f"block_{i}"] = {
+            "LayerNorm_0": _ln(sd, f"{p}.layer_norm1"),
+            "LayerNorm_1": _ln(sd, f"{p}.layer_norm2"),
+            "attn": {
+                "q_proj": linear(f"{p}.self_attn.q_proj", "qkv"),
+                "k_proj": linear(f"{p}.self_attn.k_proj", "qkv"),
+                "v_proj": linear(f"{p}.self_attn.v_proj", "qkv"),
+                "out_proj": linear(f"{p}.self_attn.out_proj", "out"),
+            },
+            "mlp": {
+                "fc_in": linear(f"{p}.mlp.fc1"),
+                "fc_out": linear(f"{p}.mlp.fc2"),
+            },
+        }
+    return params
+
+
+def _rope_permute(w: np.ndarray, n_head: int, d: int) -> np.ndarray:
+    """HF split-half RoPE layout -> interleaved-pair layout.
+
+    HF rotates (x[:d/2], x[d/2:]); we rotate (x[0::2], x[1::2]). Reordering
+    each head's output rows as [0, d/2, 1, d/2+1, ...] makes the two exactly
+    equivalent.
+    """
+    w = w.reshape(n_head, d, -1)
+    perm = np.empty((d,), np.int64)
+    perm[0::2] = np.arange(d // 2)
+    perm[1::2] = np.arange(d // 2) + d // 2
+    return w[:, perm, :].reshape(n_head * d, -1)
+
+
+def convert_llama(state_dict: Dict, config: LMConfig) -> Dict:
+    """Llama (RoPE/RMSNorm/SwiGLU/GQA) -> TransformerLM(arch='llama') params."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    h = config.hidden_size
+    n_head, n_kv = config.num_heads, config.kv_heads
+    d = config.head_dim
+
+    params: Dict = {
+        "wte": {"embedding": _np(sd["embed_tokens.weight"])},
+        "ln_f": {"scale": _np(sd["norm.weight"])},
+    }
+    for i in range(config.num_layers):
+        p = f"layers.{i}"
+
+        def proj(name: str, heads: int, rope: bool):
+            w = _np(sd[f"{p}.self_attn.{name}.weight"])  # (heads*d, h)
+            if rope:
+                w = _rope_permute(w, heads, d)
+            return {"kernel": w.T.reshape(h, heads, d)}
+
+        params[f"block_{i}"] = {
+            "RMSNorm_0": {"scale": _np(sd[f"{p}.input_layernorm.weight"])},
+            "RMSNorm_1": {"scale": _np(sd[f"{p}.post_attention_layernorm.weight"])},
+            "attn": {
+                "q_proj": proj("q_proj", n_head, rope=True),
+                "k_proj": proj("k_proj", n_kv, rope=True),
+                "v_proj": proj("v_proj", n_kv, rope=False),
+                "out_proj": {
+                    "kernel": _np(sd[f"{p}.self_attn.o_proj.weight"]).T.reshape(n_head, d, h)
+                },
+            },
+            "mlp": {
+                "gate_proj": {"kernel": _np(sd[f"{p}.mlp.gate_proj.weight"]).T},
+                "up_proj": {"kernel": _np(sd[f"{p}.mlp.up_proj.weight"]).T},
+                "down_proj": {"kernel": _np(sd[f"{p}.mlp.down_proj.weight"]).T},
+            },
+        }
+    return params

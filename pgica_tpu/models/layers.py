@@ -21,10 +21,11 @@ from pgica_tpu.ops.attention import dot_product_attention
 KVCache = Tuple[jax.Array, jax.Array]  # (k, v): (B, H_kv, max_len, D)
 
 
-def make_norm(kind: str, dtype) -> nn.Module:
+def make_norm(kind: str, dtype, eps: float = 1e-5) -> nn.Module:
+    """eps defaults to 1e-5 (HF GPT-2/CLIP convention, for weight-import parity)."""
     if kind == "rmsnorm":
-        return nn.RMSNorm(dtype=dtype, param_dtype=jnp.float32)
-    return nn.LayerNorm(dtype=dtype, param_dtype=jnp.float32)
+        return nn.RMSNorm(dtype=dtype, param_dtype=jnp.float32, epsilon=eps)
+    return nn.LayerNorm(dtype=dtype, param_dtype=jnp.float32, epsilon=eps)
 
 
 def rotary_embedding(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
@@ -56,6 +57,7 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.0
     use_rope: bool = False
     rope_theta: float = 500000.0
+    use_bias: bool = True
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
 
@@ -85,7 +87,8 @@ class MultiHeadAttention(nn.Module):
         n_kv = self.num_kv_heads or self.num_heads
         head_dim = self.hidden_size // self.num_heads
         dense = functools.partial(
-            nn.DenseGeneral, dtype=self.dtype, param_dtype=jnp.float32
+            nn.DenseGeneral, dtype=self.dtype, param_dtype=jnp.float32,
+            use_bias=self.use_bias,
         )
         q = dense(features=(self.num_heads, head_dim), name="q_proj")(x)
         k = dense(features=(n_kv, head_dim), name="k_proj")(kv_src)
@@ -123,7 +126,7 @@ class MultiHeadAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3)  # (B, Sq, H, D)
         out = nn.DenseGeneral(
             features=self.hidden_size, axis=(-2, -1), dtype=self.dtype,
-            param_dtype=jnp.float32, name="out_proj",
+            param_dtype=jnp.float32, use_bias=self.use_bias, name="out_proj",
         )(out)
         if self.dropout > 0.0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -135,11 +138,14 @@ class MLP(nn.Module):
     intermediate_size: int
     kind: str = "gelu"  # "gelu" (gpt2/vit) | "swiglu" (llama)
     dropout: float = 0.0
+    use_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        dense = functools.partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
+        dense = functools.partial(
+            nn.Dense, dtype=self.dtype, param_dtype=jnp.float32, use_bias=self.use_bias
+        )
         if self.kind == "swiglu":
             gate = dense(self.intermediate_size, name="gate_proj")(x)
             up = dense(self.intermediate_size, name="up_proj")(x)
@@ -147,7 +153,10 @@ class MLP(nn.Module):
             out = dense(self.hidden_size, name="down_proj")(h)
         else:
             h = dense(self.intermediate_size, name="fc_in")(x)
-            h = nn.gelu(h, approximate=True)
+            if self.kind == "quick_gelu":  # CLIP's activation: x * sigmoid(1.702x)
+                h = h * nn.sigmoid(1.702 * h)
+            else:
+                h = nn.gelu(h, approximate=True)
             out = dense(self.hidden_size, name="fc_out")(h)
         if self.dropout > 0.0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -164,9 +173,11 @@ class TransformerBlock(nn.Module):
     causal: bool = False
     dropout: float = 0.0
     norm: str = "layernorm"
+    norm_eps: float = 1e-5
     mlp_kind: str = "gelu"
     use_rope: bool = False
     rope_theta: float = 500000.0
+    use_bias: bool = True
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
 
@@ -179,7 +190,7 @@ class TransformerBlock(nn.Module):
         position: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> Tuple[jax.Array, Optional[KVCache]]:
-        h = make_norm(self.norm, self.dtype)(x)
+        h = make_norm(self.norm, self.dtype, self.norm_eps)(x)
         attn_out, new_cache = MultiHeadAttention(
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
@@ -188,18 +199,20 @@ class TransformerBlock(nn.Module):
             dropout=self.dropout,
             use_rope=self.use_rope,
             rope_theta=self.rope_theta,
+            use_bias=self.use_bias,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="attn",
         )(h, mask=mask, cache=cache, position=position, deterministic=deterministic)
         x = x + attn_out
-        h = make_norm(self.norm, self.dtype)(x)
+        h = make_norm(self.norm, self.dtype, self.norm_eps)(x)
         inter = self.intermediate_size or 4 * self.hidden_size
         x = x + MLP(
             hidden_size=self.hidden_size,
             intermediate_size=inter,
             kind=self.mlp_kind,
             dropout=self.dropout,
+            use_bias=self.use_bias,
             dtype=self.dtype,
             name="mlp",
         )(h, deterministic=deterministic)

@@ -65,7 +65,9 @@ class TransformerLM(nn.Module):
                 causal=True,
                 dropout=cfg.dropout,
                 norm="rmsnorm" if cfg.arch == "llama" else "layernorm",
+                norm_eps=cfg.norm_eps,
                 mlp_kind="swiglu" if cfg.arch == "llama" else "gelu",
+                use_bias=cfg.arch != "llama",
                 use_rope=cfg.arch == "llama",
                 rope_theta=cfg.rope_theta,
                 dtype=self.dtype,
@@ -74,7 +76,7 @@ class TransformerLM(nn.Module):
             )
             for i in range(cfg.num_layers)
         ]
-        self.ln_f = make_norm("rmsnorm" if cfg.arch == "llama" else "layernorm", self.dtype)
+        self.ln_f = make_norm("rmsnorm" if cfg.arch == "llama" else "layernorm", self.dtype, cfg.norm_eps)
 
     def embed(self, input_ids: jax.Array, position_offset: int = 0) -> jax.Array:
         """Token (+ learned position) embeddings for GPT-2; token only for llama."""

@@ -24,6 +24,8 @@ class ViTConfig:
     num_heads: int = 12
     mlp_ratio: float = 4.0
     dropout: float = 0.0
+    hidden_act: str = "quick_gelu"  # CLIP convention; "gelu" for SigLIP-style towers
+    norm_eps: float = 1e-5
 
     @property
     def num_patches(self) -> int:
@@ -44,6 +46,7 @@ class LMConfig:
     dropout: float = 0.1
     arch: str = "gpt2"  # "gpt2": learned pos + LayerNorm + GELU; "llama": RoPE + RMSNorm + SwiGLU
     rope_theta: float = 500000.0
+    norm_eps: float = 1e-5
 
     @property
     def head_dim(self) -> int:
@@ -58,7 +61,7 @@ VISION_PRESETS = {
     "openai/clip-vit-base-patch32": ViTConfig(224, 32, 768, 12, 12),
     "openai/clip-vit-base-patch16": ViTConfig(224, 16, 768, 12, 12),
     "openai/clip-vit-large-patch14": ViTConfig(224, 14, 1024, 24, 16),
-    "google/siglip-so400m-patch14-384": ViTConfig(384, 14, 1152, 27, 16, mlp_ratio=4304 / 1152),
+    "google/siglip-so400m-patch14-384": ViTConfig(384, 14, 1152, 27, 16, mlp_ratio=4304 / 1152, hidden_act="gelu", norm_eps=1e-6),
     "tiny-vit": ViTConfig(32, 8, 32, 2, 2),
 }
 
@@ -76,6 +79,7 @@ TEXT_PRESETS = {
         max_position_embeddings=8192,
         mlp_ratio=14336 / 4096,
         arch="llama",
+        norm_eps=1e-5,
     ),
     "tiny-gpt2": LMConfig(hidden_size=32, num_layers=2, num_heads=2, max_position_embeddings=64),
     "tiny-llama": LMConfig(

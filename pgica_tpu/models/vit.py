@@ -52,7 +52,7 @@ class VisionTransformer(nn.Module):
             "pos_embed", nn.initializers.normal(0.02), (1, n + 1, cfg.hidden_size), jnp.float32
         )
         x = x + pos.astype(self.dtype)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="pre_ln")(x)
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, epsilon=cfg.norm_eps, name="pre_ln")(x)
 
         block_cls = TransformerBlock
         if self.remat:
@@ -64,13 +64,15 @@ class VisionTransformer(nn.Module):
                 intermediate_size=int(cfg.hidden_size * cfg.mlp_ratio),
                 causal=False,
                 dropout=cfg.dropout,
+                mlp_kind=cfg.hidden_act,
+                norm_eps=cfg.norm_eps,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 name=f"block_{i}",
             )(x, None, None, None, deterministic)
 
         features = x
-        pooled = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="post_ln")(x[:, 0])
+        pooled = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, epsilon=cfg.norm_eps, name="post_ln")(x[:, 0])
         return {"features": features, "pooled_output": pooled}
 
 

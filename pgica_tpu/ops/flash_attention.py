@@ -47,7 +47,7 @@ def _fwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_q, block_kv)
-        s = s + bias_ref[0, pl.ds(i * block_kv, block_kv)][None, :]
+        s = s + bias_ref[0, 0, pl.ds(i * block_kv, block_kv)][None, :]
         if causal:
             rows = q_idx * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = i * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -75,7 +75,7 @@ def _fwd_kernel(
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l_safe)).astype(jnp.float32)
+    lse_ref[0, 0] = (m + jnp.log(l_safe)).astype(jnp.float32)
 
 
 def _bwd_dkv_kernel(
@@ -85,7 +85,7 @@ def _bwd_dkv_kernel(
     """One program = one (batch*head, kv_block). Loops over q blocks."""
     k = k_ref[0].astype(jnp.float32)  # (block_kv, d)
     v = v_ref[0].astype(jnp.float32)
-    bias = bias_ref[0][None, :]  # (1, block_kv)
+    bias = bias_ref[0, 0][None, :]  # (1, block_kv)
     block_kv = k.shape[0]
     kv_idx = pl.program_id(1)
     num_q = pl.cdiv(seq_q, block_q)
@@ -94,8 +94,8 @@ def _bwd_dkv_kernel(
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)]
         s = sm_scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) + bias
@@ -132,8 +132,8 @@ def _bwd_dq_kernel(
     """One program = one (batch*head, q_block). Loops over kv blocks."""
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]
-    delta = delta_ref[0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
     block_q = q.shape[0]
     q_idx = pl.program_id(1)
     num_kv = pl.cdiv(seq_kv, block_kv)
@@ -143,7 +143,7 @@ def _bwd_dq_kernel(
         v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
         s = sm_scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) + bias_ref[0, pl.ds(i * block_kv, block_kv)][None, :]
+        ) + bias_ref[0, 0, pl.ds(i * block_kv, block_kv)][None, :]
         if causal:
             rows = q_idx * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = i * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -188,8 +188,8 @@ def _flash_fwd_impl(q, k, v, bias, causal, block_q, block_kv, interpret):
     kr = k.reshape(b * h, sk, d)
     vr = v.reshape(b * h, sk, d)
     grid = (b * h, sq // bq)
-    # bias is (B, Sk), shared across heads: program g -> batch g // h
-    bias_spec = pl.BlockSpec((1, sk), lambda g, i: (g // h, 0))
+    # bias is (B, 1, Sk), shared across heads: program g -> batch g // h
+    bias_spec = pl.BlockSpec((1, 1, sk), lambda g, i: (g // h, 0, 0))
 
     out, lse = pl.pallas_call(
         functools.partial(
@@ -204,11 +204,11 @@ def _flash_fwd_impl(q, k, v, bias, causal, block_q, block_kv, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, bq, d), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, bq), lambda g, i: (g, i)),
+            pl.BlockSpec((1, 1, bq), lambda g, i: (g, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, sq), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, 1, sq), jnp.float32),
         ],
         interpret=interpret,
     )(qr, kr, vr, bias)
@@ -233,7 +233,7 @@ def _flash_bwd(causal, block_q, block_kv, interpret, residuals, g):
     kr = k.reshape(b * h, sk, d)
     vr = v.reshape(b * h, sk, d)
     gr = g.reshape(b * h, sq, d)
-    dr = delta.reshape(b * h, sq)
+    dr = delta.reshape(b * h, 1, sq)
 
     dk, dv = pl.pallas_call(
         functools.partial(
@@ -244,10 +244,10 @@ def _flash_bwd(causal, block_q, block_kv, interpret, residuals, g):
             pl.BlockSpec((1, sq, d), lambda g_, i: (g_, 0, 0)),
             pl.BlockSpec((1, bkv, d), lambda g_, i: (g_, i, 0)),
             pl.BlockSpec((1, bkv, d), lambda g_, i: (g_, i, 0)),
-            pl.BlockSpec((1, bkv), lambda g_, i: (g_ // h, i)),
+            pl.BlockSpec((1, 1, bkv), lambda g_, i: (g_ // h, 0, i)),
             pl.BlockSpec((1, sq, d), lambda g_, i: (g_, 0, 0)),
-            pl.BlockSpec((1, sq), lambda g_, i: (g_, 0)),
-            pl.BlockSpec((1, sq), lambda g_, i: (g_, 0)),
+            pl.BlockSpec((1, 1, sq), lambda g_, i: (g_, 0, 0)),
+            pl.BlockSpec((1, 1, sq), lambda g_, i: (g_, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, bkv, d), lambda g_, i: (g_, i, 0)),
@@ -269,10 +269,10 @@ def _flash_bwd(causal, block_q, block_kv, interpret, residuals, g):
             pl.BlockSpec((1, bq, d), lambda g_, i: (g_, i, 0)),
             pl.BlockSpec((1, sk, d), lambda g_, i: (g_, 0, 0)),
             pl.BlockSpec((1, sk, d), lambda g_, i: (g_, 0, 0)),
-            pl.BlockSpec((1, sk), lambda g_, i: (g_ // h, 0)),
+            pl.BlockSpec((1, 1, sk), lambda g_, i: (g_ // h, 0, 0)),
             pl.BlockSpec((1, bq, d), lambda g_, i: (g_, i, 0)),
-            pl.BlockSpec((1, bq), lambda g_, i: (g_, i)),
-            pl.BlockSpec((1, bq), lambda g_, i: (g_, i)),
+            pl.BlockSpec((1, 1, bq), lambda g_, i: (g_, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda g_, i: (g_, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda g_, i: (g_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
@@ -318,7 +318,7 @@ def flash_attention(
 
             return _xla_attention(q, k, v, mask, causal)
         keep = jnp.broadcast_to(mask[:, 0, 0, :], (b, sk))
-        bias = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)
+        bias = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
     else:
-        bias = jnp.zeros((b, sk), jnp.float32)
+        bias = jnp.zeros((b, 1, sk), jnp.float32)
     return _flash(q, k, v, bias, causal, block_q, block_kv, interpret)
