@@ -1,1 +1,2 @@
 """pgica_tpu.core subpackage."""
+from pgica_tpu.core.precision import compute_dtype, cast_floating

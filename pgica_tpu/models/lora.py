@@ -1,0 +1,90 @@
+"""Functional LoRA adapters (reference C8/C9: peft LoRA r=16 alpha=32 on
+c_attn/c_proj, model.py:352-394, 543-559).
+
+JAX-idiomatic design: LoRA factors live in a *separate* pytree; the adapted
+weights are materialized inside the jitted step as
+``W_eff = W + (alpha/r) * A @ B`` — a cheap rank-r outer product that XLA
+fuses into the surrounding graph. The base params stay frozen by simply not
+differentiating w.r.t. them, so no optimizer masking is needed:
+
+    lora = init_lora(params, rng, rank=16, targets=("q_proj", "v_proj"))
+    def loss_fn(lora):
+        merged = apply_lora(params, lora, alpha=32.0)
+        return model.apply({'params': merged}, ...)
+
+Target selection is by path regex, mirroring peft's ``target_modules``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_TARGETS = ("q_proj", "v_proj")  # peft's c_attn ~ our fused q/k/v split
+
+
+def _flatten(key_path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in key_path)
+
+
+def _is_target(path: str, targets: Sequence[str]) -> bool:
+    return path.endswith("/kernel") and any(
+        re.search(rf"(^|/){re.escape(t)}/kernel$", path) for t in targets
+    )
+
+
+def init_lora(
+    params: Any,
+    rng: jax.Array,
+    rank: int = 16,
+    targets: Sequence[str] = DEFAULT_TARGETS,
+) -> Dict[str, Tuple[jax.Array, jax.Array]]:
+    """Create {path: (A, B)} factors for every targeted kernel.
+
+    A ~ N(0, 1/rank) with shape (fan_in, rank); B zeros with shape
+    (rank, fan_out_flat) — standard LoRA init so the adapter starts as a
+    no-op.
+    """
+    factors: Dict[str, Tuple[jax.Array, jax.Array]] = {}
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    for key_path, leaf in leaves:
+        path = _flatten(key_path)
+        if not _is_target(path, targets):
+            continue
+        fan_in = leaf.shape[0]
+        fan_out = int(np.prod(leaf.shape[1:]))
+        rng, sub = jax.random.split(rng)
+        a = jax.random.normal(sub, (fan_in, rank), jnp.float32) / jnp.sqrt(rank)
+        b = jnp.zeros((rank, fan_out), jnp.float32)
+        factors[path] = (a, b)
+    return factors
+
+
+def apply_lora(
+    params: Any,
+    lora: Dict[str, Tuple[jax.Array, jax.Array]],
+    alpha: float = 32.0,
+    rank: int = 16,
+) -> Any:
+    """Return params with LoRA deltas merged (pure; used inside jit)."""
+    if not lora:
+        return params
+    scale = alpha / rank
+
+    def merge(key_path, leaf):
+        path = _flatten(key_path)
+        if path in lora:
+            a, b = lora[path]
+            delta = (a @ b).reshape(leaf.shape) * scale
+            return leaf + delta.astype(leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(merge, params)
+
+
+def count_lora_params(lora: Dict[str, Tuple[jax.Array, jax.Array]]) -> int:
+    return sum(int(np.prod(a.shape)) + int(np.prod(b.shape)) for a, b in lora.values())

@@ -63,6 +63,13 @@ def create_tokenizer(config):
     return CaptionTokenizer.from_pretrained(config.get("model.text_model", "gpt2-medium"))
 
 
+def resolve_attn_impl(config) -> str:
+    enabled = config.get("pallas.enabled", "auto")
+    if enabled in (False, "false", "off", 0):
+        return "xla"
+    return "auto"  # pallas on TPU when shapes qualify, XLA otherwise
+
+
 def create_model(config, tokenizer=None, seed: Optional[int] = None):
     from pgica_tpu.models import PreferenceGuidedCaptioningModel
 
@@ -78,6 +85,7 @@ def create_model(config, tokenizer=None, seed: Optional[int] = None):
         tokenizer=tokenizer,
         max_caption_length=config.get("data.max_caption_length", 128),
         dtype=resolve_dtype(config),
+        attn_impl=resolve_attn_impl(config),
         remat=bool(config.get("hardware.gradient_checkpointing", False)),
         seed=seed if seed is not None else config.get("training.seed", 42),
         image_size=config.get("data.image_size", None),
