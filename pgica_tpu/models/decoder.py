@@ -43,6 +43,7 @@ class CaptionDecoder(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    shared_lm: Optional[TransformerLM] = None
 
     def setup(self):
         self.vision_projection = nn.Sequential(
@@ -60,7 +61,7 @@ class CaptionDecoder(nn.Module):
             attn_impl="xla",  # single-KV-token attention: MXU-trivial, not flash-worthy
         )
         self.cross_ln = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
-        self.lm = TransformerLM(
+        self.lm = self.shared_lm or TransformerLM(
             self.config, with_lm_head=True, dtype=self.dtype,
             attn_impl=self.attn_impl, remat=self.remat,
         )

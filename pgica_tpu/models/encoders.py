@@ -8,7 +8,7 @@ module property.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Union
 
 import flax.linen as nn
 import jax
@@ -33,9 +33,14 @@ class TextEncoder(nn.Module):
     config: LMConfig
     projection_dim: int = 512
     dropout: float = 0.1
+    freeze_backbone: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    # Optional externally-constructed transformer to share with the decoder
+    # (model.share_text_tower; the reference instead keeps two full GPT-2
+    # copies, SURVEY §2.2).
+    shared_backbone: Optional[TransformerLM] = None
 
     @nn.compact
     def __call__(
@@ -46,11 +51,16 @@ class TextEncoder(nn.Module):
     ) -> dict:
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
-        backbone = TransformerLM(
+        lm = self.shared_backbone or TransformerLM(
             self.config, with_lm_head=False, dtype=self.dtype,
             attn_impl=self.attn_impl, remat=self.remat, name="backbone",
-        )(input_ids=input_ids, attention_mask=attention_mask, deterministic=deterministic)
+        )
+        backbone = lm(
+            input_ids=input_ids, attention_mask=attention_mask, deterministic=deterministic
+        )
         hidden = backbone["hidden_states"]
+        if self.freeze_backbone:
+            hidden = jax.lax.stop_gradient(hidden)
         pooled = masked_mean_pool(hidden, attention_mask)
         embeddings = ProjectionHead(
             self.projection_dim, self.dropout, dtype=self.dtype, name="projection"

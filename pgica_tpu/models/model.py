@@ -42,6 +42,9 @@ class PreferenceGuidedCaptioningModule(nn.Module):
     projection_dim: int = 512
     temperature: float = 0.5
     dropout: float = 0.1
+    freeze_vision_backbone: bool = False
+    freeze_text_backbone: bool = False
+    share_text_tower: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
@@ -49,15 +52,30 @@ class PreferenceGuidedCaptioningModule(nn.Module):
     def setup(self):
         self.vision_encoder = VisionEncoder(
             self.vision_config, self.projection_dim, self.dropout,
+            freeze_backbone=self.freeze_vision_backbone,
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
         )
+        shared_lm = None
+        if self.share_text_tower:
+            # One transformer serves as text tower AND decoder backbone,
+            # halving the reference's duplicated-GPT-2 parameter budget
+            # (SURVEY §2.2); opt-in via model.share_text_tower.
+            from pgica_tpu.models.lm import TransformerLM
+
+            shared_lm = TransformerLM(
+                self.decoder_config, with_lm_head=True, dtype=self.dtype,
+                attn_impl=self.attn_impl, remat=self.remat, name="shared_lm",
+            )
         self.text_encoder = TextEncoder(
             self.text_config, self.projection_dim, self.dropout,
+            freeze_backbone=self.freeze_text_backbone,
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+            shared_backbone=shared_lm,
         )
         self.caption_decoder = CaptionDecoder(
             self.decoder_config, self.projection_dim, dropout=self.dropout,
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+            shared_lm=shared_lm,
         )
 
     # -- encoders -----------------------------------------------------------------
@@ -141,6 +159,9 @@ def build_module(
     dropout: float = 0.1,
     vocab_size: int = 50257,
     max_caption_length: int = 128,
+    freeze_vision_backbone: bool = False,
+    freeze_text_backbone: bool = False,
+    share_text_tower: bool = False,
     dtype: Any = jnp.float32,
     attn_impl: str = "auto",
     remat: bool = False,
@@ -164,6 +185,9 @@ def build_module(
         projection_dim=projection_dim,
         temperature=temperature,
         dropout=dropout,
+        freeze_vision_backbone=freeze_vision_backbone,
+        freeze_text_backbone=freeze_text_backbone,
+        share_text_tower=share_text_tower,
         dtype=dtype,
         attn_impl=attn_impl,
         remat=remat,
@@ -182,6 +206,7 @@ class PreferenceGuidedCaptioningModel:
         dropout: float = 0.1,
         freeze_vision_backbone: bool = True,
         freeze_text_backbone: bool = False,
+        share_text_tower: bool = False,
         tokenizer: Optional[CaptionTokenizer] = None,
         max_caption_length: int = 128,
         dtype: Any = jnp.float32,
@@ -206,6 +231,9 @@ class PreferenceGuidedCaptioningModel:
             dropout=dropout,
             vocab_size=self.tokenizer.vocab_size,
             max_caption_length=max_caption_length,
+            freeze_vision_backbone=freeze_vision_backbone,
+            freeze_text_backbone=freeze_text_backbone,
+            share_text_tower=share_text_tower,
             dtype=dtype,
             attn_impl=attn_impl,
             remat=remat,
@@ -322,8 +350,10 @@ class PreferenceGuidedCaptioningModel:
         per["total"] = count(self.params)
         frozen = 0
         if self.freeze_vision_backbone:
-            frozen += count(self.params["vision_encoder"]["backbone"])
+            frozen += count(self.params["vision_encoder"].get("backbone", {}))
         if self.freeze_text_backbone:
-            frozen += count(self.params["text_encoder"]["backbone"])
+            frozen += count(
+                self.params["text_encoder"].get("backbone", self.params.get("shared_lm", {}))
+            )
         per["trainable"] = per["total"] - frozen
         return per

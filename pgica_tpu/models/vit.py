@@ -108,6 +108,7 @@ class VisionEncoder(nn.Module):
     config: ViTConfig
     projection_dim: int = 512
     dropout: float = 0.1
+    freeze_backbone: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
@@ -120,6 +121,11 @@ class VisionEncoder(nn.Module):
             self.config, dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
             name="backbone",
         )(images, deterministic)
+        if self.freeze_backbone:
+            # Frozen tower (reference model.py:150-164): stop_gradient here so
+            # XLA drops the tower's entire backward pass — the projection head
+            # still receives gradients for its own parameters.
+            backbone = jax.tree.map(jax.lax.stop_gradient, backbone)
         embeddings = ProjectionHead(
             self.projection_dim, self.dropout, dtype=self.dtype, name="projection"
         )(backbone["pooled_output"], deterministic)

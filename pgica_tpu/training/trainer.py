@@ -361,13 +361,61 @@ class PreferenceGuidedTrainer:
     def train(self) -> Dict[str, Any]:
         """Run the full two-stage pipeline (reference trainer.py:855-905)."""
         results: Dict[str, Any] = {}
+        t0 = time.perf_counter()
         try:
             if int(self._stage_cfg(1).get("num_epochs", 0)) > 0:
                 results["stage1"] = self.train_stage1()
             results["stage2"] = self.train_stage2()
         finally:
             self._finish_tracking()
+        self._write_results(results, wall_clock_s=time.perf_counter() - t0)
         return results
+
+    def _write_results(self, results: Dict[str, Any], wall_clock_s: float):
+        """Emit results.json / results_summary.json artifacts (reference C25)."""
+        import json
+
+        import jax as _jax
+
+        counts = self.model.num_parameters() if hasattr(self.model, "num_parameters") else {}
+        payload = {
+            "framework": "pgica_tpu",
+            "hardware": f"{_jax.default_backend()} x{len(_jax.devices())}",
+            "total_parameters": counts.get("total"),
+            "trainable_parameters": counts.get("trainable"),
+            "total_steps": self.global_step,
+            "wall_clock_minutes": round(wall_clock_s / 60.0, 2),
+            "stage1": {
+                "best_val_loss": None
+                if self.best_val_loss[1] == float("inf")
+                else self.best_val_loss[1],
+                "history": self.history["stage1"],
+            },
+            "stage2": {
+                "best_val_loss": None
+                if self.best_val_loss[2] == float("inf")
+                else self.best_val_loss[2],
+                "history": self.history["stage2"],
+            },
+            "nan_skipped_note": "per-stage skip counts are logged per epoch",
+        }
+        path = self.output_dir / "results.json"
+        path.write_text(json.dumps(payload, indent=2))
+        summary = {
+            "hardware": payload["hardware"],
+            "wall_clock_minutes": payload["wall_clock_minutes"],
+            "stage1_final_train_loss": (
+                self.history["stage1"][-1]["train_loss"] if self.history["stage1"] else None
+            ),
+            "stage1_best_val_loss": payload["stage1"]["best_val_loss"],
+            "stage2_final_train_loss": (
+                self.history["stage2"][-1]["train_loss"] if self.history["stage2"] else None
+            ),
+            "stage2_best_val_loss": payload["stage2"]["best_val_loss"],
+            "total_steps": self.global_step,
+        }
+        (self.output_dir / "results_summary.json").write_text(json.dumps(summary, indent=2))
+        logger.info("Wrote results artifacts to %s", self.output_dir)
 
     def load_checkpoint(self, path) -> Dict[str, Any]:
         payload = self.checkpoints.restore(path)

@@ -82,6 +82,7 @@ def create_model(config, tokenizer=None, seed: Optional[int] = None):
         dropout=config.get("model.dropout", 0.1),
         freeze_vision_backbone=config.get("model.freeze_vision_backbone", True),
         freeze_text_backbone=config.get("model.freeze_text_backbone", False),
+        share_text_tower=config.get("model.share_text_tower", False),
         tokenizer=tokenizer,
         max_caption_length=config.get("data.max_caption_length", 128),
         dtype=resolve_dtype(config),

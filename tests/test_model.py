@@ -193,3 +193,28 @@ class TestPresets:
         out = enc.apply({"params": params}, ids, mask)
         assert out["embeddings"].shape == (2, 8)
         assert np.isfinite(np.asarray(out["embeddings"])).all()
+
+
+class TestSharedTextTower:
+    def test_shared_tower_halves_lm_params(self, tokenizer):
+        shared = PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=PROJ,
+            tokenizer=tokenizer, max_caption_length=SEQ, image_size=IMG, seed=0,
+            share_text_tower=True,
+        )
+        assert "shared_lm" in shared.params
+        assert "backbone" not in shared.params["text_encoder"]
+        assert "lm" not in shared.params["caption_decoder"]
+
+    def test_shared_tower_trains_and_generates(self, tokenizer, rng):
+        shared = PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=PROJ,
+            tokenizer=tokenizer, max_caption_length=SEQ, image_size=IMG, seed=0,
+            share_text_tower=True,
+        )
+        imgs = rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32)
+        ids, mask = tokenizer.encode_batch(["a", "b"], SEQ)
+        out = shared(imgs, ids, mask, labels=ids, mode="dual")
+        assert np.isfinite(float(out["loss"]))
+        caps = shared.generate_captions(imgs, max_length=6)
+        assert len(caps) == 2
