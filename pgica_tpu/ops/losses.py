@@ -107,6 +107,30 @@ def sequence_logprobs(
     return summed
 
 
+def sequence_logprobs_from_hidden(
+    hidden: jax.Array,
+    embedding: jax.Array,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    length_normalized: bool = False,
+    impl: str = "auto",
+) -> jax.Array:
+    """Per-sequence logprobs via the fused linear-CE kernel (logits never
+    materialized; see ops/fused_ce.py). Semantics identical to
+    :func:`sequence_logprobs` with logits = hidden @ embedding.T."""
+    from pgica_tpu.ops.fused_ce import fused_token_logprobs
+
+    b, s, d = hidden.shape
+    rows = hidden[:, :-1].reshape(b * (s - 1), d)
+    targets = input_ids[:, 1:].reshape(-1)
+    tok_logp = fused_token_logprobs(rows, embedding, targets, impl=impl).reshape(b, s - 1)
+    mask = attention_mask[:, 1:].astype(jnp.float32)
+    summed = jnp.sum(tok_logp * mask, axis=-1)
+    if length_normalized:
+        summed = summed / jnp.clip(jnp.sum(mask, axis=-1), 1.0, None)
+    return summed
+
+
 def dpo_loss(
     policy_chosen_logps: jax.Array,
     policy_rejected_logps: jax.Array,

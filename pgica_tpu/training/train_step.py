@@ -28,7 +28,12 @@ import jax.numpy as jnp
 import optax
 
 from pgica_tpu.data.augment import augment_batch
-from pgica_tpu.ops.losses import dpo_loss, ntxent_loss, sequence_logprobs
+from pgica_tpu.ops.losses import (
+    dpo_loss,
+    ntxent_loss,
+    sequence_logprobs,
+    sequence_logprobs_from_hidden,
+)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -145,8 +150,23 @@ def make_stage1_eval_step(module, temperature: float) -> Callable:
 # --------------------------------------------------------------------- stage 2
 
 
-def _policy_logits_pair(module, params, images, batch, rng=None):
-    """One vision encode + ONE decoder pass over [chosen; rejected]."""
+def decoder_embedding(params):
+    """The decoder LM's (weight-tied) embedding matrix, shared-tower aware."""
+    if "shared_lm" in params:
+        return params["shared_lm"]["wte"]["embedding"]
+    return params["caption_decoder"]["lm"]["wte"]["embedding"]
+
+
+def _policy_pair_logprobs(
+    module, params, images, batch, rng=None,
+    length_normalized=False, use_fused_ce=True,
+):
+    """One vision encode + ONE decoder pass over [chosen; rejected].
+
+    Returns per-sequence logprobs for the chosen and rejected halves. With
+    ``use_fused_ce`` the unused logits output is dead-code-eliminated by XLA
+    and logprobs come from the fused linear-CE kernel over hidden states.
+    """
     kwargs = {}
     deterministic = rng is None
     if rng is not None:
@@ -163,8 +183,13 @@ def _policy_logits_pair(module, params, images, batch, rng=None):
         {"params": params}, ids, mask, vis2, deterministic,
         method="decode_train", **kwargs,
     )
-    logits = dec["logits"]
-    return logits[:b], logits[b:], ids, mask
+    if use_fused_ce:
+        logps = sequence_logprobs_from_hidden(
+            dec["hidden_states"], decoder_embedding(params), ids, mask, length_normalized
+        )
+    else:
+        logps = sequence_logprobs(dec["logits"], ids, mask, length_normalized)
+    return logps[:b], logps[b:]
 
 
 def stage2_loss_fn(
@@ -185,21 +210,15 @@ def stage2_loss_fn(
         images = augment_batch(aug_rng, images, enabled=True)
     b = images.shape[0]
 
-    pol_chosen_logits, pol_rej_logits, ids, mask = _policy_logits_pair(
-        module, params, images, batch, dropout_rng
+    pc, pr = _policy_pair_logprobs(
+        module, params, images, batch, dropout_rng, length_normalized
     )
-    chosen_ids, rej_ids = ids[:b], ids[b:]
-    chosen_mask, rej_mask = mask[:b], mask[b:]
-    pc = sequence_logprobs(pol_chosen_logits, chosen_ids, chosen_mask, length_normalized)
-    pr = sequence_logprobs(pol_rej_logits, rej_ids, rej_mask, length_normalized)
 
     rc = rr = None
     if not reference_free and ref_params is not None:
-        ref_c_logits, ref_r_logits, _, _ = _policy_logits_pair(
-            module, jax.lax.stop_gradient(ref_params), images, batch, None
+        rc, rr = _policy_pair_logprobs(
+            module, jax.lax.stop_gradient(ref_params), images, batch, None, length_normalized
         )
-        rc = sequence_logprobs(ref_c_logits, chosen_ids, chosen_mask, length_normalized)
-        rr = sequence_logprobs(ref_r_logits, rej_ids, rej_mask, length_normalized)
 
     loss, metrics = dpo_loss(
         pc, pr, rc, rr, beta=beta, label_smoothing=label_smoothing, reference_free=reference_free
@@ -240,15 +259,14 @@ def make_stage2_eval_step(
 ) -> Callable:
     def step(params, ref_params, batch):
         images = batch["image"]
-        b = images.shape[0]
-        pol_c, pol_r, ids, mask = _policy_logits_pair(module, params, images, batch, None)
-        pc = sequence_logprobs(pol_c, ids[:b], mask[:b], length_normalized)
-        pr = sequence_logprobs(pol_r, ids[b:], mask[b:], length_normalized)
+        pc, pr = _policy_pair_logprobs(
+            module, params, images, batch, None, length_normalized
+        )
         rc = rr = None
         if not reference_free and ref_params is not None:
-            ref_c, ref_r, _, _ = _policy_logits_pair(module, ref_params, images, batch, None)
-            rc = sequence_logprobs(ref_c, ids[:b], mask[:b], length_normalized)
-            rr = sequence_logprobs(ref_r, ids[b:], mask[b:], length_normalized)
+            rc, rr = _policy_pair_logprobs(
+                module, ref_params, images, batch, None, length_normalized
+            )
         loss, metrics = dpo_loss(pc, pr, rc, rr, beta=beta, reference_free=reference_free)
         metrics["loss"] = loss
         return metrics
