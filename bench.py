@@ -15,13 +15,28 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 BASELINE_PAIRS_PER_SEC = 52.0  # RTX 3090, reference stage 1 (see docstring)
 
+# Persistent XLA compilation cache: the first bench run pays the (minutes-long
+# over the axon tunnel) compile; later runs start hot.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/pgica_tpu/xla"))
 
-def run_bench(batch_size: int, steps: int = 10, warmup: int = 3) -> float:
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        print(f"compile cache unavailable: {e}", file=sys.stderr)
+
+
+def run_bench(batch_size: int, steps: int = 10, warmup: int = 2) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -88,7 +103,8 @@ def run_bench(batch_size: int, steps: int = 10, warmup: int = 3) -> float:
 
 
 def main():
-    batch_sizes = [64, 32, 16, 8]
+    _enable_compile_cache()
+    batch_sizes = [128, 64, 32, 16, 8]
     value = None
     for bs in batch_sizes:
         try:

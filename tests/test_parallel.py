@@ -140,3 +140,43 @@ class TestShardedTraining:
         # params keep their shardings through the update
         q_kernel = state.params["text_encoder"]["backbone"]["block_0"]["attn"]["q_proj"]["kernel"]
         assert "model" in str(q_kernel.sharding.spec)
+
+
+class TestScaledConfigShapes:
+    def test_llama_dpo_step_on_fsdp_tp_mesh(self):
+        """Tiny-llama DPO (frozen reference) on a data=2 x fsdp=2 x model=2 mesh —
+        the sharding layout of configs/siglip_llama8b.yaml at toy size."""
+        import jax.numpy as jnp
+
+        from pgica_tpu.data.tokenizer import CaptionTokenizer
+        from pgica_tpu.models import PreferenceGuidedCaptioningModel
+        from pgica_tpu.training.optim import create_optimizer
+        from pgica_tpu.training.train_step import TrainState, make_stage2_train_step
+
+        tok = CaptionTokenizer()
+        model = PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-llama", projection_dim=16,
+            tokenizer=tok, max_caption_length=8, image_size=32, seed=0,
+        )
+        mesh = MeshContext(data=2, fsdp=2, model=2)
+        params = shard_params(model.params, mesh.mesh)
+        ref_params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        opt = create_optimizer(1e-3, total_steps=2, warmup_steps=1)
+        state = TrainState.create(params, opt)
+        step = jax.jit(
+            make_stage2_train_step(model.module, opt, beta=0.1, augment=False),
+            donate_argnums=(0,),
+        )
+        rng = np.random.default_rng(0)
+        p_ids, p_mask = tok.encode_batch([f"good caption {i}" for i in range(8)], 8)
+        r_ids, r_mask = tok.encode_batch([f"bad {i}" for i in range(8)], 8)
+        batch = mesh.shard_batch(
+            {
+                "image": rng.normal(size=(8, 32, 32, 3)).astype(np.float32),
+                "preferred_ids": p_ids, "preferred_mask": p_mask,
+                "rejected_ids": r_ids, "rejected_mask": r_mask,
+            }
+        )
+        state, metrics = step(state, ref_params, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert 0.0 <= float(metrics["reward_accuracy"]) <= 1.0
