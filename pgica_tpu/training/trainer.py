@@ -64,6 +64,7 @@ class PreferenceGuidedTrainer:
         preference_val_loader=None,
         mesh=None,
         output_dir: Optional[str] = None,
+        profile_dir: Optional[str] = None,
     ):
         self.model = model
         self.config = config
@@ -79,6 +80,8 @@ class PreferenceGuidedTrainer:
             config.get("paths.checkpoint_dir", self.output_dir / "checkpoints")
         )
 
+        self.profile_dir = profile_dir
+        self._profile_started = False
         self.global_step = 0
         self.current_epoch = 0
         self.best_val_loss: Dict[int, float] = {1: float("inf"), 2: float("inf")}
@@ -315,11 +318,29 @@ class PreferenceGuidedTrainer:
 
     # ------------------------------------------------------------- loops
 
+    def _maybe_profile(self):
+        """Capture a jax.profiler trace of steps 2-7 when profile_dir is set."""
+        if self.profile_dir is None:
+            return
+        if self.global_step == 2 and not self._profile_started:
+            jax.profiler.start_trace(str(self.profile_dir))
+            self._profile_started = True
+            logger.info("Started jax.profiler trace -> %s", self.profile_dir)
+        elif self.global_step >= 8 and self._profile_started:
+            self._stop_profile()
+
+    def _stop_profile(self):
+        if self._profile_started:
+            jax.profiler.stop_trace()
+            self._profile_started = False
+            logger.info("Stopped jax.profiler trace")
+
     def _run_epoch(self, state, loader, train_step, rng, stage, epoch, ref_params=None):
         losses = []
         t0 = time.perf_counter()
         n_items = 0
         for batch in loader:
+            self._maybe_profile()
             device_batch = self._device_batch(batch)
             n_items += device_batch["image"].shape[0]
             if stage == 1:
@@ -339,6 +360,7 @@ class PreferenceGuidedTrainer:
             "stage %d epoch %d: train_loss=%.4f (%d steps, %.1f pairs/s, %d NaN-skipped)",
             stage, epoch, mean_loss, len(losses), n_items / max(dt, 1e-6), skipped,
         )
+        self._stop_profile()  # close the trace even for very short epochs
         return state, {"loss": mean_loss, "pairs_per_sec": n_items / max(dt, 1e-6), "skipped": skipped}
 
     def _validate(self, params, loader, eval_step, stage, epoch, ref_params=None) -> Optional[float]:

@@ -28,6 +28,8 @@ def parse_args():
     p.add_argument("--log-level", type=str, default=None)
     p.add_argument("--platform", type=str, default=None, help="force jax platform (cpu/tpu)")
     p.add_argument("--max-steps", type=int, default=None, help="debug: cap steps per epoch")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler trace of early train steps to this dir")
     return p.parse_args()
 
 
@@ -105,6 +107,7 @@ def main():
         preference_val_loader=pref_val,
         mesh=mesh,
         output_dir=config.get("paths.output_dir", "./outputs"),
+        profile_dir=args.profile_dir,
     )
     if args.resume:
         trainer.load_checkpoint(args.resume)
