@@ -102,8 +102,96 @@ def run_bench(batch_size: int, steps: int = 10, warmup: int = 2) -> float:
     return pairs_per_sec
 
 
+def run_stage2_bench(batch_size: int = 16, steps: int = 5, warmup: int = 2) -> float:
+    """DPO pairs/sec: policy+reference logprobs fused in one jitted step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pgica_tpu.data.tokenizer import CaptionTokenizer
+    from pgica_tpu.models.model import build_module
+    from pgica_tpu.training.optim import create_optimizer
+    from pgica_tpu.training.train_step import TrainState, make_stage2_train_step
+
+    tokenizer = CaptionTokenizer()
+    module = build_module(
+        vision_model="openai/clip-vit-base-patch32", text_model="gpt2-medium",
+        projection_dim=512, vocab_size=tokenizer.vocab_size,
+        max_caption_length=128, dtype=jnp.bfloat16, remat=True,
+        freeze_vision_backbone=True,
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 250, (batch_size, 128)).astype(np.int32))
+    mask = jnp.ones((batch_size, 128), jnp.int32)
+    params = module.init(
+        jax.random.PRNGKey(0), images[:1], ids[:1], mask[:1], mode="dual"
+    )["params"]
+    ref_params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+    opt = create_optimizer(1e-5, total_steps=1000, warmup_steps=10)
+    state = TrainState.create(params, opt)
+    step = jax.jit(make_stage2_train_step(module, opt, beta=0.1, augment=True), donate_argnums=(0,))
+    batch = {
+        "image": images,
+        "preferred_ids": ids, "preferred_mask": mask,
+        "rejected_ids": ids, "rejected_mask": mask,
+    }
+    key = jax.random.PRNGKey(0)
+    for _ in range(warmup):
+        state, metrics = step(state, ref_params, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step(state, ref_params, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    pps = batch_size * steps / dt
+    print(f"stage2: {steps} steps x batch {batch_size} in {dt:.2f}s -> {pps:.1f} pairs/s", file=sys.stderr)
+    return pps
+
+
+def run_eval_bench(batch_size: int = 16, max_length: int = 64) -> float:
+    """Greedy caption decode throughput (captions/sec)."""
+    import jax
+    import numpy as np
+
+    from pgica_tpu.data.tokenizer import CaptionTokenizer
+    from pgica_tpu.models import PreferenceGuidedCaptioningModel
+
+    import jax.numpy as jnp
+
+    tokenizer = CaptionTokenizer()
+    model = PreferenceGuidedCaptioningModel(
+        vision_model="openai/clip-vit-base-patch32", text_model="gpt2-medium",
+        projection_dim=512, tokenizer=tokenizer, max_caption_length=128,
+        dtype=jnp.bfloat16, seed=0,
+    )
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32)
+    model.generate_captions(images, max_length=max_length)  # compile
+    t0 = time.time()
+    caps = model.generate_captions(images, max_length=max_length)
+    dt = time.time() - t0
+    cps = len(caps) / dt
+    print(f"eval: batch {batch_size} x len {max_length} greedy in {dt:.2f}s -> {cps:.1f} captions/s", file=sys.stderr)
+    return cps
+
+
 def main():
     _enable_compile_cache()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="stage1", choices=["stage1", "stage2", "eval"])
+    args, _ = ap.parse_known_args()
+    if args.mode == "stage2":
+        v = run_stage2_bench()
+        print(json.dumps({"metric": "stage2 DPO pairs/sec/chip", "value": round(v, 2), "unit": "pairs/s/chip", "vs_baseline": None}))
+        return 0
+    if args.mode == "eval":
+        v = run_eval_bench()
+        print(json.dumps({"metric": "eval captions/sec/chip", "value": round(v, 2), "unit": "captions/s/chip", "vs_baseline": None}))
+        return 0
     batch_sizes = [128, 64, 32, 16, 8]
     value = None
     for bs in batch_sizes:
