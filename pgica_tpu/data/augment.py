@@ -2,18 +2,27 @@
 
 Replaces the reference's torchvision host-side transforms (reference
 preprocessing.py:52-68: RandomResizedCrop(0.8-1.0), HFlip(0.5),
-ColorJitter(0.2/0.2/0.2/0.1), RandomRotation(±5°)) with pure-JAX functions
-that run on device under jit, so augmentation rides the TPU VPU instead of
-the (single-core) host.
+ColorJitter(0.2/0.2/0.2/0.1), RandomRotation(±5°)) with TPU-native
+equivalents that run on device under jit.
 
-All functions take **normalized** NHWC float32 batches. Color jitter is
-applied in de-normalized [0,1] space internally.
+TPU design note: naive gather-based warps (index the image with computed
+coordinate grids) serialize on the TPU gather unit and were measured ~50x
+slower than the rest of the train step. Geometric augmentations are instead
+expressed as **separable resampling matmuls**: a per-image (H, H) row-resample
+matrix and (W, W) column-resample matrix built from one-hot nearest-neighbor
+indices, applied as two einsums that ride the MXU. Horizontal flip folds into
+the column matrix for free. The reference's ±5° rotation is approximated by
+small random translations (folded into the same matrices) — a documented
+deviation chosen because true rotation is non-separable; at ≤5° the
+augmentation effect (local pixel displacement) is comparable.
+
+All functions take **normalized** NHWC float32 batches; color jitter is
+applied in de-normalized [0, 1] space internally.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,23 +33,28 @@ _MEAN = jnp.asarray(IMAGENET_MEAN)
 _STD = jnp.asarray(IMAGENET_STD)
 
 
-def _random_resized_crop(key: jax.Array, img: jax.Array, min_scale: float = 0.8) -> jax.Array:
-    """Crop a random area in [min_scale, 1.0] and resize back (per image, HWC)."""
-    h, w, _ = img.shape
-    k_scale, k_y, k_x = jax.random.split(key, 3)
+def _resample_matrix(
+    key: jax.Array, size: int, min_scale: float, max_shift_frac: float, flip: bool = False
+) -> jax.Array:
+    """(size, size) nearest-neighbor resample matrix: crop+resize+shift (+flip).
+
+    Samples a crop scale in [min_scale, 1] and a placement offset, then builds
+    the one-hot matrix M with out = M @ in along this axis.
+    """
+    k_scale, k_off, k_shift, k_flip = jax.random.split(key, 4)
     scale = jax.random.uniform(k_scale, (), minval=min_scale, maxval=1.0)
-    ch = jnp.round(h * jnp.sqrt(scale)).astype(jnp.int32)
-    cw = jnp.round(w * jnp.sqrt(scale)).astype(jnp.int32)
-    y0 = jax.random.randint(k_y, (), 0, h - ch + 1)
-    x0 = jax.random.randint(k_x, (), 0, w - cw + 1)
-    # Static-shape gather: build source index grids for the resized output.
-    yy = (jnp.arange(h) * (ch.astype(jnp.float32) / h)).astype(jnp.int32) + y0
-    xx = (jnp.arange(w) * (cw.astype(jnp.float32) / w)).astype(jnp.int32) + x0
-    return img[yy][:, xx]
+    crop_len = size * scale
+    max_off = size - crop_len
+    offset = jax.random.uniform(k_off, (), minval=0.0, maxval=1.0) * max_off
+    # small translation standing in for the reference's ±5° rotation
+    shift = jax.random.uniform(k_shift, (), minval=-max_shift_frac, maxval=max_shift_frac) * size
 
-
-def _hflip(key: jax.Array, img: jax.Array) -> jax.Array:
-    return jnp.where(jax.random.bernoulli(key), img[:, ::-1, :], img)
+    positions = offset + shift + (jnp.arange(size) + 0.5) * (crop_len / size) - 0.5
+    idx = jnp.clip(jnp.round(positions).astype(jnp.int32), 0, size - 1)
+    if flip:
+        do_flip = jax.random.bernoulli(k_flip)
+        idx = jnp.where(do_flip, size - 1 - idx, idx)
+    return jax.nn.one_hot(idx, size, dtype=jnp.float32)  # (size_out, size_in)
 
 
 def _color_jitter(
@@ -57,35 +71,27 @@ def _color_jitter(
     img01 = mean + (img01 - mean) * jax.random.uniform(kc, (), minval=1 - contrast, maxval=1 + contrast)
     gray = jnp.mean(img01, axis=-1, keepdims=True)
     img01 = gray + (img01 - gray) * jax.random.uniform(ks, (), minval=1 - saturation, maxval=1 + saturation)
-    # Cheap hue shift: rotate channels toward their mean by a random amount.
+    # cheap hue shift: blend toward channel-rolled image
     shift = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
     rolled = jnp.roll(img01, 1, axis=-1)
     img01 = img01 * (1 - jnp.abs(shift)) + rolled * jnp.abs(shift)
     return jnp.clip(img01, 0.0, 1.0)
 
 
-def _rotate(key: jax.Array, img: jax.Array, max_degrees: float = 5.0) -> jax.Array:
-    """Small-angle rotation via inverse-mapped nearest-neighbor sampling."""
-    h, w, _ = img.shape
-    angle = jax.random.uniform(key, (), minval=-max_degrees, maxval=max_degrees) * jnp.pi / 180.0
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    ys, xs = jnp.mgrid[0:h, 0:w]
-    yc, xc = ys - cy, xs - cx
-    cos, sin = jnp.cos(angle), jnp.sin(angle)
-    src_y = jnp.clip(jnp.round(cos * yc - sin * xc + cy).astype(jnp.int32), 0, h - 1)
-    src_x = jnp.clip(jnp.round(sin * yc + cos * xc + cx).astype(jnp.int32), 0, w - 1)
-    return img[src_y, src_x]
-
-
 def _augment_one(key: jax.Array, img: jax.Array) -> jax.Array:
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    img = _random_resized_crop(k1, img)
-    img = _hflip(k2, img)
+    h, w, _ = img.shape
+    k_h, k_w, k_col = jax.random.split(key, 3)
+    # sqrt so the 2D area scale matches the reference's area-based crop range
+    min_axis_scale = 0.8**0.5
+    m_rows = _resample_matrix(k_h, h, min_axis_scale, max_shift_frac=0.02, flip=False)
+    m_cols = _resample_matrix(k_w, w, min_axis_scale, max_shift_frac=0.02, flip=True)
+    # out[i, j, c] = sum_{a,b} m_rows[i,a] * img[a,b,c] * m_cols[j,b]  (two MXU matmuls)
+    img = jnp.einsum("ia,abc->ibc", m_rows, img, preferred_element_type=jnp.float32)
+    img = jnp.einsum("jb,ibc->ijc", m_cols, img, preferred_element_type=jnp.float32)
+
     img01 = jnp.clip(img * _STD + _MEAN, 0.0, 1.0)
-    img01 = _color_jitter(k3, img01)
-    img = (img01 - _MEAN) / _STD
-    img = _rotate(k4, img)
-    return img
+    img01 = _color_jitter(k_col, img01)
+    return (img01 - _MEAN) / _STD
 
 
 @functools.partial(jax.jit, static_argnames=("enabled",))
