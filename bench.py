@@ -91,7 +91,7 @@ def run_bench(batch_size: int, steps: int = 10, warmup: int = 2) -> float:
     t0 = time.time()
     for _ in range(steps):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+        _ = float(metrics["loss"])  # hard per-step sync: no async-dispatch inflation
     dt = time.time() - t0
     pairs_per_sec = batch_size * steps / dt
     print(
@@ -143,7 +143,7 @@ def run_stage2_bench(batch_size: int = 16, steps: int = 5, warmup: int = 2) -> f
     t0 = time.time()
     for _ in range(steps):
         state, metrics = step(state, ref_params, batch, key)
-    jax.block_until_ready(metrics["loss"])
+        _ = float(metrics["loss"])  # hard per-step sync
     dt = time.time() - t0
     pps = batch_size * steps / dt
     print(f"stage2: {steps} steps x batch {batch_size} in {dt:.2f}s -> {pps:.1f} pairs/s", file=sys.stderr)

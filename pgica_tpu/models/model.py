@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import logging
 import time
+from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 import flax.linen as nn
@@ -339,6 +340,55 @@ class PreferenceGuidedCaptioningModel:
             1000.0 * (t_encode + t_generate + t_decode) / max(1, len(captions)),
         )
         return captions
+
+    def load_pretrained_towers(
+        self, vision_path: Optional[str] = None, text_path: Optional[str] = None,
+        decoder_path: Optional[str] = None,
+    ) -> None:
+        """Import weights from LOCAL HF checkpoints (offline) via models/convert.
+
+        ``vision_path`` -> CLIPVisionModel directory; ``text_path`` -> GPT-2 or
+        Llama directory for the text tower; ``decoder_path`` (defaults to
+        text_path) -> decoder LM. Projection heads / cross-attention stay at
+        their initialization (they have no reference-side pretrained weights).
+        """
+        from pgica_tpu.models import convert as C
+
+        def _state_dict(path):
+            import torch
+
+            p = Path(path)
+            for name in ("pytorch_model.bin", "model.safetensors"):
+                f = p / name
+                if f.exists():
+                    if f.suffix == ".bin":
+                        return torch.load(f, map_location="cpu", weights_only=True)
+                    from safetensors.torch import load_file
+
+                    return load_file(str(f))
+            raise FileNotFoundError(f"No torch checkpoint in {path}")
+
+        params = jax.tree.map(lambda x: x, self.params)  # shallow copy of dict tree
+        if vision_path:
+            params["vision_encoder"]["backbone"] = jax.tree.map(
+                jnp.asarray,
+                C.convert_clip_vision(_state_dict(vision_path), self.module.vision_config),
+            )
+        if text_path:
+            conv = C.convert_llama if self.module.text_config.arch == "llama" else C.convert_gpt2
+            converted = jax.tree.map(jnp.asarray, conv(_state_dict(text_path), self.module.text_config))
+            if "shared_lm" in params:
+                params["shared_lm"] = converted
+            else:
+                params["text_encoder"]["backbone"] = converted
+        dec_path = decoder_path or text_path
+        if dec_path and "shared_lm" not in params:
+            conv = C.convert_llama if self.module.decoder_config.arch == "llama" else C.convert_gpt2
+            params["caption_decoder"]["lm"] = jax.tree.map(
+                jnp.asarray, conv(_state_dict(dec_path), self.module.decoder_config)
+            )
+        self.params = params
+        logger.info("Loaded pretrained towers (vision=%s text=%s)", vision_path, text_path)
 
     # -- introspection ----------------------------------------------------------------
 

@@ -49,6 +49,10 @@ try:
     import wandb  # type: ignore
 except Exception:  # pragma: no cover
     wandb = None
+try:
+    from tqdm import tqdm  # type: ignore
+except Exception:  # pragma: no cover
+    tqdm = None
 
 
 class PreferenceGuidedTrainer:
@@ -339,7 +343,10 @@ class PreferenceGuidedTrainer:
         losses = []
         t0 = time.perf_counter()
         n_items = 0
-        for batch in loader:
+        iterator = loader
+        if tqdm is not None and jax.process_index() == 0:
+            iterator = tqdm(loader, total=len(loader), desc=f"stage{stage} epoch {epoch}", leave=False)
+        for batch in iterator:
             self._maybe_profile()
             device_batch = self._device_batch(batch)
             n_items += device_batch["image"].shape[0]

@@ -148,3 +148,57 @@ class TestLlamaParity:
             np.asarray(out["hidden_states"]), hf_out.numpy(), atol=3e-4,
             err_msg="llama hidden states diverge",
         )
+
+
+class TestLoadPretrainedTowers:
+    def test_end_to_end_local_checkpoint_import(self, tmp_path):
+        """save_pretrained tiny HF models locally, import via the wrapper, and
+        verify the text tower's pooled features reflect the HF weights."""
+        import jax.numpy as jnp
+
+        from transformers import CLIPVisionConfig, CLIPVisionModel, GPT2Config, GPT2LMHeadModel
+
+        from pgica_tpu.data.tokenizer import CaptionTokenizer
+        from pgica_tpu.models import PreferenceGuidedCaptioningModel
+        from pgica_tpu.models.lm import TransformerLM
+        from pgica_tpu.models.presets import LMConfig
+
+        torch.manual_seed(0)
+        tok = CaptionTokenizer()
+        gpt2 = GPT2LMHeadModel(
+            GPT2Config(
+                vocab_size=tok.vocab_size, n_positions=64, n_embd=32, n_layer=2,
+                n_head=2, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+            )
+        ).eval()
+        clip = CLIPVisionModel(
+            CLIPVisionConfig(
+                hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+                num_attention_heads=2, image_size=32, patch_size=8, attention_dropout=0.0,
+            )
+        ).eval()
+        gpt2.save_pretrained(tmp_path / "gpt2", safe_serialization=False)
+        clip.save_pretrained(tmp_path / "clip", safe_serialization=False)
+
+        model = PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=16,
+            tokenizer=tok, max_caption_length=10, image_size=32, seed=0,
+        )
+        model.load_pretrained_towers(
+            vision_path=tmp_path / "clip", text_path=tmp_path / "gpt2"
+        )
+
+        # text tower hidden states must now match HF exactly
+        ids = np.random.default_rng(0).integers(0, 64, (2, 10)).astype(np.int64)
+        with torch.no_grad():
+            hf_hidden = gpt2.transformer(torch.tensor(ids)).last_hidden_state
+        ours_cfg = model.module.text_config
+        lm = TransformerLM(ours_cfg, with_lm_head=False, attn_impl="xla")
+        out = lm.apply(
+            {"params": model.params["text_encoder"]["backbone"]},
+            input_ids=jnp.asarray(ids.astype(np.int32)),
+            attention_mask=jnp.ones((2, 10), jnp.int32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["hidden_states"]), hf_hidden.numpy(), atol=3e-4
+        )
