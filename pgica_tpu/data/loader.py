@@ -359,6 +359,7 @@ class DataLoader:
         drop_last: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        num_workers: int = 0,
         collate_fn: Callable = _collate,
     ):
         self.dataset = dataset
@@ -367,6 +368,9 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        # worker THREADS for item fetch (PIL decode releases the GIL);
+        # 0 = fetch inline on the prefetch thread.
+        self.num_workers = int(num_workers)
         self.collate_fn = collate_fn
         self._epoch = 0
 
@@ -388,12 +392,23 @@ class DataLoader:
             batches.append(idx.tolist())
         return batches
 
+    def _fetch(self, idx: List[int]):
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if not hasattr(self, "_pool"):
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            items = list(self._pool.map(self.dataset.__getitem__, idx))
+        else:
+            items = [self.dataset[i] for i in idx]
+        return self.collate_fn(items)
+
     def __iter__(self):
         batches = self._batch_indices()
         self._epoch += 1
         if self.prefetch <= 0:
             for idx in batches:
-                yield self.collate_fn([self.dataset[i] for i in idx])
+                yield self._fetch(idx)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -402,7 +417,7 @@ class DataLoader:
         def producer():
             try:
                 for idx in batches:
-                    q.put(self.collate_fn([self.dataset[i] for i in idx]))
+                    q.put(self._fetch(idx))
             finally:
                 q.put(sentinel)
 
@@ -427,6 +442,7 @@ def create_dataloaders(
     test_split: float = 0.1,
     seed: int = 42,
     max_samples: Optional[int] = None,
+    num_workers: int = 0,
     **dataset_kwargs,
 ) -> Tuple[DataLoader, DataLoader, DataLoader]:
     """Seeded 3-way split into train/val/test loaders (reference loader.py:500-597).
@@ -455,7 +471,10 @@ def create_dataloaders(
         "val": _SplitView(dataset, order[n_train : n_train + n_val], "val", augment=False),
         "test": _SplitView(dataset, order[n_train + n_val :], "test", augment=False),
     }
-    train_loader = DataLoader(views["train"], batch_size, shuffle=True, drop_last=True, seed=seed)
-    val_loader = DataLoader(views["val"], batch_size, shuffle=False, drop_last=False)
-    test_loader = DataLoader(views["test"], batch_size, shuffle=False, drop_last=False)
+    train_loader = DataLoader(
+        views["train"], batch_size, shuffle=True, drop_last=True, seed=seed,
+        num_workers=num_workers,
+    )
+    val_loader = DataLoader(views["val"], batch_size, num_workers=num_workers)
+    test_loader = DataLoader(views["test"], batch_size, num_workers=num_workers)
     return train_loader, val_loader, test_loader

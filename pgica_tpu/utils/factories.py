@@ -204,6 +204,7 @@ def create_loaders_with_fallback(
             val_split=config.get("data.val_split", 0.1),
             test_split=config.get("data.test_split", 0.1),
             seed=seed,
+            num_workers=config.get("data.num_workers", 0),
         )
 
     logger.warning("Data path %s not found; using in-memory dummy %s data", data_path, kind)
