@@ -72,7 +72,7 @@ def _greedy_or_sample(
     batch = vision_embeddings.shape[0]
     vocab = module.decoder_config.vocab_size
     cache_len = max_length + 1  # +1 for the vision token at position 0
-    caches = init_kv_cache(module.decoder_config, batch, cache_len, jnp.float32)
+    caches = init_kv_cache(module.decoder_config, batch, cache_len, module.dtype)
 
     def mask_at(pos):
         return (jnp.arange(cache_len)[None, :] <= pos).astype(jnp.int32).repeat(batch, 0)
@@ -147,7 +147,7 @@ def _beam_search(
 
     # Expand vision embeddings to (B*K, D); all beams share the prefix.
     vis = jnp.repeat(vision_embeddings, k, axis=0)
-    caches = init_kv_cache(module.decoder_config, batch * k, cache_len, jnp.float32)
+    caches = init_kv_cache(module.decoder_config, batch * k, cache_len, module.dtype)
 
     def mask_at(pos):
         return (jnp.arange(cache_len)[None, :] <= pos).astype(jnp.int32).repeat(batch * k, 0)

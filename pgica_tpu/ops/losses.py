@@ -107,6 +107,41 @@ def sequence_logprobs(
     return summed
 
 
+def ntxent_loss_fused(
+    image_embeddings: jax.Array,
+    text_embeddings: jax.Array,
+    temperature: float = 0.5,
+    axis_name: Optional[str] = None,
+    impl: str = "auto",
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """NT-Xent via the fused linear-CE kernel — the (B_global, B_global)
+    logits matrix never hits HBM.
+
+    Observation: the i2t direction of InfoNCE is exactly a target-token
+    log-likelihood where the "vocabulary" is the gathered text embeddings, so
+    both directions reduce to :func:`pgica_tpu.ops.fused_ce.fused_token_logprobs`
+    over (embeddings/temperature). Matches :func:`ntxent_loss` numerically
+    (the accuracy metric is omitted — it would need the full logits row).
+    """
+    from pgica_tpu.ops.fused_ce import fused_token_logprobs
+
+    img = image_embeddings.astype(jnp.float32) / temperature
+    txt = text_embeddings.astype(jnp.float32)
+    local_b = img.shape[0]
+    if axis_name is not None:
+        global_img = jax.lax.all_gather(image_embeddings.astype(jnp.float32), axis_name, tiled=True)
+        global_txt = jax.lax.all_gather(txt, axis_name, tiled=True)
+        labels = jnp.arange(local_b) + jax.lax.axis_index(axis_name) * local_b
+        loss_i2t = -fused_token_logprobs(img, global_txt, labels, impl=impl).mean()
+        loss_t2i = -fused_token_logprobs(txt / temperature, global_img, labels, impl=impl).mean()
+    else:
+        labels = jnp.arange(local_b)
+        loss_i2t = -fused_token_logprobs(img, txt, labels, impl=impl).mean()
+        loss_t2i = -fused_token_logprobs(txt / temperature, image_embeddings.astype(jnp.float32), labels, impl=impl).mean()
+    loss = 0.5 * (loss_i2t + loss_t2i)
+    return loss, {"loss_i2t": loss_i2t, "loss_t2i": loss_t2i}
+
+
 def sequence_logprobs_from_hidden(
     hidden: jax.Array,
     embedding: jax.Array,

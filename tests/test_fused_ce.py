@@ -62,3 +62,40 @@ class TestDispatch:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(_xla_token_logprobs(h, w, y)), atol=1e-5
         )
+
+
+class TestFusedNTXent:
+    def test_matches_plain_ntxent(self, rng):
+        from pgica_tpu.ops.losses import l2_normalize, ntxent_loss, ntxent_loss_fused
+
+        img = l2_normalize(jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32)))
+        txt = l2_normalize(jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32)))
+        plain, _ = ntxent_loss(img, txt, temperature=0.5)
+        fused, _ = ntxent_loss_fused(img, txt, temperature=0.5)
+        np.testing.assert_allclose(float(fused), float(plain), rtol=1e-5)
+
+    def test_matches_over_8_device_mesh(self, rng):
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from pgica_tpu.ops.losses import l2_normalize, ntxent_loss, ntxent_loss_fused
+
+        img = l2_normalize(jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)))
+        txt = l2_normalize(jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)))
+        full, _ = ntxent_loss(img, txt, temperature=0.5)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        fn = shard_map(
+            lambda a, b: ntxent_loss_fused(a, b, temperature=0.5, axis_name="data")[0][None],
+            mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+        )
+        per_device = fn(img, txt)
+        np.testing.assert_allclose(float(jnp.mean(per_device)), float(full), rtol=1e-5)
+
+    def test_gradients_match(self, rng):
+        from pgica_tpu.ops.losses import l2_normalize, ntxent_loss, ntxent_loss_fused
+
+        img = l2_normalize(jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32)))
+        txt = l2_normalize(jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32)))
+        g_plain = jax.grad(lambda a: ntxent_loss(a, txt, 0.5)[0])(img)
+        g_fused = jax.grad(lambda a: ntxent_loss_fused(a, txt, 0.5)[0])(img)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_plain), atol=1e-5)
