@@ -47,8 +47,12 @@ def _xla_attention(
 def _pallas_supported(q: jax.Array, k: jax.Array) -> bool:
     if jax.default_backend() in ("cpu",):
         return False
-    # Flash kernel wants seq and head_dim friendly to (8,128)/(16,128) tiling.
-    return q.shape[-1] >= 64 and q.shape[-2] >= 128 and k.shape[-2] >= 128
+    # Crossover measured on v5e (bench grid, ViT-B/32+GPT-2-Medium): at
+    # seq<=128 / head_dim 64 XLA's fused attention wins (flash pads d=64 to
+    # 128 lanes and adds loop overhead); flash pays off once the S^2 score
+    # matrix stops fitting comfortably — long sequences with 128-wide heads
+    # (the Llama-8B scaled config).
+    return q.shape[-1] >= 128 and q.shape[-2] >= 256 and k.shape[-2] >= 256
 
 
 def dot_product_attention(
