@@ -14,7 +14,6 @@ decoder causal self-attention). Layout is (batch, heads, seq, head_dim).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -24,7 +24,7 @@ is automatic (pallas on TPU for aligned shapes, XLA otherwise).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

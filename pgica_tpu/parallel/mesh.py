@@ -20,7 +20,7 @@ from typing import Any, Dict, Optional, Sequence
 
 import jax
 import numpy as np
-from jax.experimental import mesh_utils
+
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 logger = logging.getLogger(__name__)

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import logging
 import re
-from typing import Any, Dict, Tuple
+from typing import Any, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -19,7 +19,6 @@ Replaces the reference's Accelerate prepare/backward/accumulate surface
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct
