@@ -1,0 +1,69 @@
+"""Fixed-seed golden-value regression tests.
+
+These pin the numeric behavior of the full training stack (tiny config,
+seeded init, synthetic batch) so refactors that silently change semantics —
+initialization, loss scaling, masking, augmentation keying — fail loudly.
+Update the constants ONLY for intentional behavior changes, with a note.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pgica_tpu.data.tokenizer import CaptionTokenizer
+from pgica_tpu.models import PreferenceGuidedCaptioningModel
+from pgica_tpu.ops.losses import dpo_loss, ntxent_loss
+
+
+def _fixed_model():
+    return PreferenceGuidedCaptioningModel(
+        vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=16,
+        tokenizer=CaptionTokenizer(), max_caption_length=8, image_size=32, seed=1234,
+    )
+
+
+def _fixed_batch(tok):
+    rng = np.random.default_rng(1234)
+    images = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    ids, mask = tok.encode_batch(
+        ["a red bird", "two dogs", "a house", "the beach"], 8
+    )
+    return images, ids, mask
+
+
+class TestGoldenValues:
+    def test_contrastive_forward_loss(self):
+        model = _fixed_model()
+        images, ids, mask = _fixed_batch(model.tokenizer)
+        out = model(images, ids, mask, mode="contrastive")
+        loss, _ = ntxent_loss(out["image_embeddings"], out["text_embeddings"], 0.5)
+        # recorded 2026-08-16 (round 1); tolerance covers cross-platform fp drift
+        assert float(loss) == pytest.approx(1.3102, abs=0.02)
+
+    def test_caption_ce_loss(self):
+        model = _fixed_model()
+        images, ids, mask = _fixed_batch(model.tokenizer)
+        out = model(images, ids, mask, labels=ids, mode="generation")
+        assert float(out["loss"]) == pytest.approx(5.5788, abs=0.05)
+
+    def test_deterministic_across_runs(self):
+        m1, m2 = _fixed_model(), _fixed_model()
+        images, ids, mask = _fixed_batch(m1.tokenizer)
+        o1 = m1(images, ids, mask, mode="contrastive")
+        o2 = m2(images, ids, mask, mode="contrastive")
+        np.testing.assert_array_equal(
+            np.asarray(o1["image_embeddings"]), np.asarray(o2["image_embeddings"])
+        )
+
+    def test_dpo_known_value(self):
+        pc = jnp.asarray([-10.0, -12.0])
+        pr = jnp.asarray([-15.0, -11.0])
+        rc = jnp.asarray([-11.0, -11.0])
+        rr = jnp.asarray([-14.0, -12.0])
+        loss, metrics = dpo_loss(pc, pr, rc, rr, beta=0.1)
+        # hand-computed: logits = (pc-pr)-(rc-rr) = [2.0, -2.0];
+        # loss = mean(-logsigmoid(0.2), -logsigmoid(-0.2)) = mean(0.5981, 0.7981)
+        assert float(loss) == pytest.approx(0.69813, abs=1e-4)
+        assert float(metrics["reward_accuracy"]) == pytest.approx(0.5)
