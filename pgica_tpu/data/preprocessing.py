@@ -34,10 +34,20 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 class ImageProcessor:
     """Decode + resize + normalize images to NHWC float32 (reference C2)."""
 
-    def __init__(self, image_size: int = 224, augment: bool = False, normalize: bool = True):
+    def __init__(
+        self,
+        image_size: int = 224,
+        augment: bool = False,
+        normalize: bool = True,
+        device_side_normalization: bool = False,
+    ):
         self.image_size = int(image_size)
         self.augment = bool(augment)  # device-side augmentation flag (see augment.py)
         self.normalize = bool(normalize)
+        # When set, process_image returns resized uint8 and normalization
+        # happens on device (augment.prepare_images) — 4x less host->device
+        # transfer than float32.
+        self.device_side_normalization = bool(device_side_normalization)
 
     # -- host path -------------------------------------------------------------
 
@@ -69,7 +79,10 @@ class ImageProcessor:
 
         Returns (H, W, 3) float32. Invalid inputs raise ValueError.
         """
-        arr = self.resize(self.load_image(source)).astype(np.float32) / 255.0
+        resized = self.resize(self.load_image(source))
+        if self.device_side_normalization:
+            return resized  # uint8; see augment.prepare_images
+        arr = resized.astype(np.float32) / 255.0
         if self.normalize:
             arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
         return arr

@@ -241,20 +241,23 @@ class PreferenceGuidedCaptioningModel:
         )
         self.image_size = image_size or self.module.vision_config.image_size
         self.params = self.init_params(jax.random.PRNGKey(seed))
+        from pgica_tpu.data.augment import prepare_images
+
         self._jit_forward = jax.jit(
             lambda params, images, ids, mask, labels, mode: self.module.apply(
-                {"params": params}, images, ids, mask, labels, mode=mode
+                {"params": params}, prepare_images(images), ids, mask, labels, mode=mode
             ),
             static_argnames=("mode",),
         )
         self._jit_similarity = jax.jit(
             lambda params, images, ids, mask: self.module.apply(
-                {"params": params}, images, ids, mask, method=self.module.compute_similarity
+                {"params": params}, prepare_images(images), ids, mask,
+                method=self.module.compute_similarity,
             )
         )
         self._jit_encode_image = jax.jit(
             lambda params, images: self.module.apply(
-                {"params": params}, images, method=self.module.encode_image
+                {"params": params}, prepare_images(images), method=self.module.encode_image
             )
         )
         self._generate_fn = None  # built lazily per generate_config

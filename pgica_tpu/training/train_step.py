@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from pgica_tpu.data.augment import augment_batch
+from pgica_tpu.data.augment import augment_batch, prepare_images
 from pgica_tpu.ops.losses import (
     dpo_loss,
     ntxent_loss,
@@ -91,7 +91,7 @@ def stage1_loss_fn(
     axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     aug_rng, dropout_rng = jax.random.split(rng)
-    images = batch["image"]
+    images = prepare_images(batch["image"])
     if augment:
         images = augment_batch(aug_rng, images, enabled=True)
     out = module.apply(
@@ -132,7 +132,7 @@ def make_stage1_eval_step(module, temperature: float) -> Callable:
     def step(params, batch):
         out = module.apply(
             {"params": params},
-            batch["image"],
+            prepare_images(batch["image"]),
             batch["caption_ids"],
             batch["caption_mask"],
             mode="contrastive",
@@ -204,7 +204,7 @@ def stage2_loss_fn(
     augment: bool,
 ):
     aug_rng, dropout_rng = jax.random.split(rng)
-    images = batch["image"]
+    images = prepare_images(batch["image"])
     if augment:
         images = augment_batch(aug_rng, images, enabled=True)
     b = images.shape[0]
@@ -257,7 +257,7 @@ def make_stage2_eval_step(
     module, beta: float, reference_free: bool = False, length_normalized: bool = False
 ) -> Callable:
     def step(params, ref_params, batch):
-        images = batch["image"]
+        images = prepare_images(batch["image"])
         pc, pr = _policy_pair_logprobs(
             module, params, images, batch, None, length_normalized
         )

@@ -356,3 +356,23 @@ class TestAugment:
         batch = image_processor.process_batch([temp_dataset_dir / "images" / "img_0.jpg"])
         out = np.asarray(augment_batch(jax.random.PRNGKey(0), batch, enabled=False))
         np.testing.assert_allclose(out, batch)
+
+
+class TestDeviceSideNormalization:
+    def test_uint8_path_matches_host_normalization(self, temp_dataset_dir):
+        from pgica_tpu.data.augment import prepare_images
+
+        host = ImageProcessor(image_size=32)
+        dev = ImageProcessor(image_size=32, device_side_normalization=True)
+        path = temp_dataset_dir / "images" / "img_0.jpg"
+        host_out = host.process_image(path)
+        raw = dev.process_image(path)
+        assert raw.dtype == np.uint8
+        dev_out = np.asarray(prepare_images(raw[None]))[0]
+        np.testing.assert_allclose(dev_out, host_out, atol=1e-5)
+
+    def test_float_passthrough(self, rng):
+        from pgica_tpu.data.augment import prepare_images
+
+        x = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(prepare_images(x)), x)
