@@ -244,3 +244,25 @@ class TestTrainer:
         tiny_trainer.config.set("training.stage2.num_epochs", 0)
         out = tiny_trainer.train_stage2()
         assert out.get("skipped") is True
+
+
+class TestGradientAccumulation:
+    def test_params_update_only_every_k_steps(self, model, tokenizer):
+        opt = create_optimizer(
+            1e-2, total_steps=10, warmup_steps=0, gradient_accumulation_steps=2
+        )
+        state = TrainState.create(model.params, opt)
+        step = jax.jit(make_stage1_train_step(model.module, opt, 0.5, augment=False))
+        batch = contrastive_batch(tokenizer)
+        before = np.asarray(model.params["text_encoder"]["projection"]["fc1"]["kernel"])
+
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+        mid = np.asarray(state.params["text_encoder"]["projection"]["fc1"]["kernel"])
+        np.testing.assert_array_equal(mid, before)  # accumulating, no update yet
+
+        # 3 more micro-steps = 2 applied updates; the first lands in warmup
+        # (lr ~ 0) so check after the second.
+        for _ in range(3):
+            state, _ = step(state, batch, jax.random.PRNGKey(0))
+        after = np.asarray(state.params["text_encoder"]["projection"]["fc1"]["kernel"])
+        assert not np.allclose(after, before)
