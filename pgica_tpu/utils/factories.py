@@ -46,6 +46,24 @@ def set_seed(seed: int = 42):
     np.random.seed(seed)
 
 
+def enable_compilation_cache():
+    """Persistent XLA compile cache (first TPU compile of the big graphs can
+    take minutes over a remote tunnel; later runs start hot)."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(Path.home() / ".cache" / "pgica_tpu" / "xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # pragma: no cover
+        logger.debug("compilation cache unavailable: %s", e)
+
+
 def resolve_dtype(config):
     import jax.numpy as jnp
 
@@ -173,7 +191,7 @@ class DummyPreferenceDataset:
 
 def create_loaders_with_fallback(
     config, image_processor, text_processor, kind: str = "conceptual",
-    dummy_samples: int = 64,
+    dummy_samples: Optional[int] = None,
 ) -> Tuple:
     """(train, val, test) loaders from real data, or the dummy fallback."""
     from pgica_tpu.data.loader import (
@@ -208,6 +226,8 @@ def create_loaders_with_fallback(
         )
 
     logger.warning("Data path %s not found; using in-memory dummy %s data", data_path, kind)
+    if dummy_samples is None:
+        dummy_samples = int(config.get("data.dummy_samples", 64))
     dummy_cls = DummyConceptualDataset if kind == "conceptual" else DummyPreferenceDataset
     n_val = max(dummy_samples // 8, batch_size)
     train = dummy_cls(image_processor, text_processor, dummy_samples, seed)

@@ -115,6 +115,9 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from pgica_tpu.utils.config import Config
+    from pgica_tpu.utils.factories import enable_compilation_cache
+
+    enable_compilation_cache()
     from pgica_tpu.utils.factories import setup_logging
 
     config = Config(args.config)

@@ -41,6 +41,9 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from pgica_tpu.utils.config import Config
+    from pgica_tpu.utils.factories import enable_compilation_cache
+
+    enable_compilation_cache()
     from pgica_tpu.utils.factories import (
         create_loaders_with_fallback,
         create_mesh,
