@@ -57,6 +57,10 @@ def _pretokenize(text: str) -> List[str]:
 
     A simplified version of GPT-2's regex pretokenizer: groups alpha runs,
     digit runs, and punctuation runs, attaching one leading space to a word.
+    NOTE: GPT-2's contraction rules ('s/'t/'re/...) are not reproduced, so
+    loading real GPT-2 vocab/merges artifacts yields valid but not
+    token-identical segmentations; within this framework the tokenizer is
+    self-consistent (encode/decode round-trips exactly).
     """
     out: List[str] = []
     cur = ""
