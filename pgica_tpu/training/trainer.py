@@ -69,6 +69,7 @@ class PreferenceGuidedTrainer:
         mesh=None,
         output_dir: Optional[str] = None,
         profile_dir: Optional[str] = None,
+        max_steps_per_epoch: Optional[int] = None,
     ):
         self.model = model
         self.config = config
@@ -85,6 +86,7 @@ class PreferenceGuidedTrainer:
         )
 
         self.profile_dir = profile_dir
+        self.max_steps_per_epoch = max_steps_per_epoch  # debug cap (--max-steps)
         self._profile_started = False
         self.global_step = 0
         self.current_epoch = 0
@@ -346,7 +348,9 @@ class PreferenceGuidedTrainer:
         iterator = loader
         if tqdm is not None and jax.process_index() == 0:
             iterator = tqdm(loader, total=len(loader), desc=f"stage{stage} epoch {epoch}", leave=False)
-        for batch in iterator:
+        for step_idx, batch in enumerate(iterator):
+            if self.max_steps_per_epoch is not None and step_idx >= self.max_steps_per_epoch:
+                break
             self._maybe_profile()
             device_batch = self._device_batch(batch)
             n_items += device_batch["image"].shape[0]

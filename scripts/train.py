@@ -111,6 +111,7 @@ def main():
         mesh=mesh,
         output_dir=config.get("paths.output_dir", "./outputs"),
         profile_dir=args.profile_dir,
+        max_steps_per_epoch=args.max_steps,
     )
     if args.resume:
         trainer.load_checkpoint(args.resume)
