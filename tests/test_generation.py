@@ -139,3 +139,24 @@ class TestGenerateCaptionsAPI:
         images = rng.normal(size=(1, IMG, IMG, 3)).astype(np.float32)
         caps = model.generate_captions(images, max_length=8, num_beams=3, repetition_penalty=1.1)
         assert len(caps) == 1
+
+
+class TestBeamGreedyConsistency:
+    def test_beam1_equals_greedy(self, model, vision_emb):
+        """Beam search with a single beam must reduce to greedy decoding."""
+        greedy = _gen(model, vision_emb)
+        beam1 = _gen(model, vision_emb, num_beams=1)  # dispatches to greedy path
+        np.testing.assert_array_equal(greedy, beam1)
+        # force the actual beam-search machinery with k=1
+        from pgica_tpu.generation.decode import _beam_search
+
+        tok = model.tokenizer
+        beam_forced = np.asarray(
+            _beam_search(
+                model.module, model.params, vision_emb,
+                max_length=8, num_beams=1, length_penalty=1.0,
+                repetition_penalty=1.0, eos_token_id=tok.eos_token_id,
+                pad_token_id=tok.pad_token_id,
+            )
+        )
+        np.testing.assert_array_equal(greedy, beam_forced)
