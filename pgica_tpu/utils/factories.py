@@ -76,9 +76,53 @@ def resolve_dtype(config):
 
 
 def create_tokenizer(config):
+    """Tokenizer resolution: local HF artifacts > dataset-trained BPE > byte fallback.
+
+    Setting ``data.bpe_vocab_size`` trains a byte-level BPE on the configured
+    caption corpus (cached under paths.cache_dir keyed by corpus+size), giving
+    from-scratch runs a meaningful subword vocabulary instead of raw bytes.
+    """
     from pgica_tpu.data.tokenizer import CaptionTokenizer
 
-    return CaptionTokenizer.from_pretrained(config.get("model.text_model", "gpt2-medium"))
+    name = config.get("model.text_model", "gpt2-medium")
+    if Path(str(name)).is_dir():  # local HF artifacts win
+        return CaptionTokenizer.from_pretrained(name)
+
+    vocab_size = config.get("data.bpe_vocab_size")
+    data_path = Path(config.get("data.conceptual_captions_path", ""))
+    if vocab_size and data_path.exists():
+        import hashlib
+
+        cache_root = Path(config.get("paths.cache_dir", "./cache"))
+        key = hashlib.sha1(f"{data_path.resolve()}|{vocab_size}".encode()).hexdigest()[:12]
+        cache_dir = cache_root / f"bpe_{vocab_size}_{key}"
+        if (cache_dir / "vocab.json").exists():
+            logger.info("Loading cached dataset BPE from %s", cache_dir)
+            return CaptionTokenizer.load(cache_dir)
+        corpus = read_caption_corpus(data_path)
+        if corpus:
+            logger.info(
+                "Training %d-entry BPE on %d captions from %s", vocab_size, len(corpus), data_path
+            )
+            tok = CaptionTokenizer.train_bpe(corpus, vocab_size=int(vocab_size))
+            tok.save(cache_dir)
+            return tok
+    return CaptionTokenizer.from_pretrained(name)
+
+
+def read_caption_corpus(data_path) -> list:
+    """Caption strings from a CSV/TSV/JSON/directory dataset (index only)."""
+    from pgica_tpu.data.loader import ConceptualCaptionsDataset
+
+    try:
+        ds = ConceptualCaptionsDataset.__new__(ConceptualCaptionsDataset)
+        ds.data_path = Path(data_path)
+        ds.max_samples = None
+        records = ds._load_index()
+        return [r["caption"] for r in records]
+    except Exception as e:
+        logger.warning("Could not read caption corpus from %s: %s", data_path, e)
+        return []
 
 
 def resolve_attn_impl(config) -> str:

@@ -376,3 +376,24 @@ class TestDeviceSideNormalization:
 
         x = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
         np.testing.assert_array_equal(np.asarray(prepare_images(x)), x)
+
+
+class TestDatasetTrainedBPE:
+    def test_factory_trains_and_caches_bpe(self, temp_dataset_dir, tmp_path):
+        from pgica_tpu.utils.config import Config
+        from pgica_tpu.utils.factories import create_tokenizer
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from conftest import make_config_dict
+
+        cfg = Config(config_dict=make_config_dict(**{
+            "data.conceptual_captions_path": str(temp_dataset_dir),
+            "data.bpe_vocab_size": 300,
+            "paths.cache_dir": str(tmp_path / "cache"),
+        }))
+        tok = create_tokenizer(cfg)
+        assert tok.vocab_size > 256 + 5  # learned merges from the corpus
+        assert tok.decode(tok.encode("a red bird")) == "a red bird"
+        # second call loads from cache (same ids)
+        tok2 = create_tokenizer(cfg)
+        assert tok2.encode("two dogs playing") == tok.encode("two dogs playing")
