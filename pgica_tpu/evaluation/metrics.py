@@ -370,6 +370,11 @@ class CaptioningMetrics:
         if self.model is None:
             logger.warning("compute_clip_score requires a model; returning zeros")
             return {"clip_score_mean": 0.0, "clip_score_std": 0.0}
+        # Score over min(len(images), len(captions)) aligned pairs — callers
+        # may pass a sample batch of images for a larger caption set.
+        n = min(len(images), len(captions))
+        images = images[:n]
+        captions = list(captions[:n])
         tok = self.model.tokenizer
         ids_mask = [tok.encode_padded(c, self.model.max_caption_length) for c in captions]
         ids = np.stack([x[0] for x in ids_mask])
