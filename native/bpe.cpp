@@ -124,44 +124,56 @@ CharClass classify(unsigned char c) {
     return kOther;
 }
 
-// Pretokenizer matching tokenizer.py::_pretokenize — alpha/digit/other runs,
-// one leading space attaches to the following word.
+// Pretokenizer matching tokenizer.py::_PRETOKEN_RE — GPT-2's pattern with
+// every byte >= 0x80 classified as a letter (consistent with the Python
+// path's "all non-ASCII codepoints are letters" approximation):
+//   's|'t|'re|'ve|'m|'ll|'d | ?letters+ | ?digits+ | ?punct+ |\s+(?!\S)|\s+
 std::vector<std::string> pretokenize(const char* text) {
     std::vector<std::string> out;
-    std::string cur;
-    CharClass mode = kSpace;
-    for (const char* p = text; *p; ++p) {
-        unsigned char c = static_cast<unsigned char>(*p);
-        CharClass cls = classify(c);
-        if (cls == kSpace) {
-            if (!cur.empty()) {
-                out.push_back(cur);
+    const size_t n = std::strlen(text);
+    size_t i = 0;
+    static const char* kContractions[] = {"s", "t", "re", "ve", "m", "ll", "d"};
+    while (i < n) {
+        // 1. contractions
+        if (text[i] == '\'') {
+            bool matched = false;
+            for (const char* suf : kContractions) {
+                const size_t len = std::strlen(suf);
+                if (i + 1 + len <= n && std::strncmp(text + i + 1, suf, len) == 0) {
+                    out.emplace_back(text + i, len + 1);
+                    i += len + 1;
+                    matched = true;
+                    break;
+                }
             }
-            cur = (c == ' ') ? " " : "";
-            if (c != ' ') {
-                // non-space whitespace becomes its own token
-                out.push_back(std::string(1, static_cast<char>(c)));
-                cur.clear();
-            }
-            mode = kSpace;
-            continue;
+            if (matched) continue;
         }
-        if (cur.empty() || cur == " " || mode == cls) {
-            cur += static_cast<char>(c);
-            mode = cls;
+        // 2. optional single leading space + letter/digit/punct run
+        size_t j = i;
+        if (text[j] == ' ') j++;
+        if (j < n) {
+            const CharClass cls = classify(static_cast<unsigned char>(text[j]));
+            if (cls != kSpace) {
+                size_t k = j + 1;
+                while (k < n && classify(static_cast<unsigned char>(text[k])) == cls) k++;
+                out.emplace_back(text + i, k - i);
+                i = k;
+                continue;
+            }
+        }
+        // 3. whitespace runs: \s+(?!\S) leaves the final whitespace char to
+        // prefix the next token (or \s+ consumes a trailing run entirely)
+        size_t k = i;
+        while (k < n && classify(static_cast<unsigned char>(text[k])) == kSpace) k++;
+        if (k == n || k - i == 1) {
+            out.emplace_back(text + i, k - i);
+            i = k;
         } else {
-            out.push_back(cur);
-            cur = std::string(1, static_cast<char>(c));
-            mode = cls;
+            out.emplace_back(text + i, k - i - 1);
+            i = k - 1;
         }
     }
-    if (!cur.empty() && cur != "") out.push_back(cur);
-    std::vector<std::string> filtered;
-    filtered.reserve(out.size());
-    for (auto& w : out) {
-        if (!w.empty()) filtered.push_back(std::move(w));
-    }
-    return filtered;
+    return out;
 }
 
 }  // namespace

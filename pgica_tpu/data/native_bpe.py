@@ -1,10 +1,9 @@
 """ctypes loader for the native C++ BPE encoder (native/bpe.cpp).
 
 Opportunistic acceleration of the tokenizer hot path: if the shared library
-exists (or can be built with g++ in a few seconds), ASCII text is encoded
-natively; otherwise, and for any non-ASCII text (where Python's unicode
-character classes differ from the byte-class pretokenizer), the pure-Python
-path in tokenizer.py is used. Both paths produce identical ids for ASCII —
+exists (or can be built with g++ in a few seconds; rebuilt automatically when
+bpe.cpp is newer), text is encoded natively; otherwise the pure-Python path
+in tokenizer.py is used. Both paths produce identical ids for all inputs —
 enforced by tests/test_native_bpe.py.
 """
 
@@ -45,7 +44,12 @@ def get_library() -> Optional[ctypes.CDLL]:
     if _lib is not None or _load_attempted:
         return _lib
     _load_attempted = True
-    path = _LIB_PATH if _LIB_PATH.exists() else _build_library()
+    stale = (
+        _LIB_PATH.exists()
+        and _SOURCE.exists()
+        and _SOURCE.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    )
+    path = _LIB_PATH if _LIB_PATH.exists() and not stale else _build_library()
     if path is None:
         return None
     try:
@@ -94,8 +98,12 @@ class NativeBPE:
         return self._handle is not None
 
     def encode(self, text: str, max_tokens: int = 4096) -> Optional[List[int]]:
-        """Encode ASCII text; returns None when unavailable or non-ASCII."""
-        if self._handle is None or not text.isascii():
+        """Encode text natively; returns None when the library is unavailable.
+
+        The C++ byte-class pretokenizer matches the Python path for all
+        inputs (non-ASCII codepoints are letters in both) — enforced by
+        tests/test_native_bpe.py."""
+        if self._handle is None:
             return None
         buf = (ctypes.c_int32 * max_tokens)()
         n = self._lib.bpe_encode(self._handle, text.encode("utf-8"), buf, max_tokens)

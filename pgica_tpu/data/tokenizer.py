@@ -52,40 +52,31 @@ _BYTE_ENCODER = _bytes_to_unicode()
 _BYTE_DECODER = {v: k for k, v in _BYTE_ENCODER.items()}
 
 
-def _pretokenize(text: str) -> List[str]:
-    """Split text into GPT-2-style word pieces (leading-space words, digits, punct).
+import re
 
-    A simplified version of GPT-2's regex pretokenizer: groups alpha runs,
-    digit runs, and punctuation runs, attaching one leading space to a word.
-    NOTE: GPT-2's contraction rules ('s/'t/'re/...) are not reproduced, so
-    loading real GPT-2 vocab/merges artifacts yields valid but not
-    token-identical segmentations; within this framework the tokenizer is
-    self-consistent (encode/decode round-trips exactly).
+# GPT-2's pretokenizer pattern, with \p{L}/\p{N} approximated as
+# "ASCII letters + all codepoints >= U+0080" / ASCII digits. The non-ASCII
+# approximation keeps the Python path byte-class-consistent with the C++
+# encoder (native/bpe.cpp), which classifies bytes >= 0x80 as letters.
+_PRETOKEN_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z\u0080-\U0010FFFF]+"
+    r"| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9\u0080-\U0010FFFF]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def _pretokenize(text: str) -> List[str]:
+    """GPT-2-style pretokenization: contractions, leading-space word/digit/
+    punct runs, and GPT-2's whitespace-run rules.
+
+    Matches GPT-2's regex except that every non-ASCII codepoint counts as a
+    letter (see _PRETOKEN_RE note) — so loading real GPT-2 vocab/merges
+    artifacts is token-identical for ASCII text; within this framework the
+    tokenizer is self-consistent (encode/decode round-trips exactly).
     """
-    out: List[str] = []
-    cur = ""
-    mode = None  # 'alpha' | 'digit' | 'other'
-    for ch in text:
-        if ch.isspace():
-            if cur:
-                out.append(cur)
-            cur = ch if ch == " " else ""
-            if ch != " ":
-                out.append(ch)
-                cur = ""
-            mode = None
-            continue
-        m = "alpha" if ch.isalpha() else "digit" if ch.isdigit() else "other"
-        if cur in ("", " ") or (mode == m and cur not in ("",)):
-            cur += ch
-            mode = m
-        else:
-            out.append(cur)
-            cur = ch
-            mode = m
-    if cur:
-        out.append(cur)
-    return [w for w in out if w]
+    return _PRETOKEN_RE.findall(text)
 
 
 class CaptionTokenizer:

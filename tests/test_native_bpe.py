@@ -18,7 +18,12 @@ ASCII_TEXTS = [
     "x",
     "",
     "the quick brown fox jumps over the lazy dog 42 times",
+    "don't stop; it's we'll I'm you're we've he'd",
+    " 's odd '' apostrophes'",
+    "mixed \t whitespace\truns  \t end ",
 ]
+
+UNICODE_TEXTS = ["caf\u00e9 \u2615 na\u00efve", "\u65e5\u672c\u8a9e caption"]
 
 
 def _python_encode(tok: CaptionTokenizer, text: str):
@@ -45,10 +50,11 @@ class TestNativeParity:
         for text in ASCII_TEXTS + ["the cat playing in the mat park"]:
             assert native.encode(text) == _python_encode(tok, text), repr(text)
 
-    def test_non_ascii_returns_none(self):
+    def test_unicode_parity(self):
         tok = CaptionTokenizer()
         native = NativeBPE(tok.vocab, tok._merges, tok.unk_token_id)
-        assert native.encode("café ☕") is None  # unicode goes to the Python path
+        for text in UNICODE_TEXTS:
+            assert native.encode(text) == _python_encode(tok, text), repr(text)
 
     def test_tokenizer_integration_roundtrip(self):
         tok = CaptionTokenizer()
