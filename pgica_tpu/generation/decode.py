@@ -29,21 +29,21 @@ from pgica_tpu.models.lm import init_kv_cache
 NEG_INF = -1.0e9
 
 
-def _apply_repetition_penalty(logits: jax.Array, presence: jax.Array, penalty: float) -> jax.Array:
-    if penalty == 1.0:
-        return logits
+def _apply_repetition_penalty(logits: jax.Array, presence: jax.Array, penalty) -> jax.Array:
+    """HF semantics; `penalty` may be traced (1.0 is naturally a no-op)."""
+    penalty = jnp.asarray(penalty, logits.dtype)
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(presence > 0, penalized, logits)
 
 
-def _top_p_filter(logits: jax.Array, top_p: float) -> jax.Array:
-    """Mask logits outside the nucleus (per row)."""
-    if top_p >= 1.0:
-        return logits
+def _top_p_filter(logits: jax.Array, top_p) -> jax.Array:
+    """Mask logits outside the nucleus (per row). `top_p` may be traced;
+    top_p >= 1.0 keeps every token."""
     sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
     cdf = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
     # smallest set with cumulative prob >= top_p; keep at least 1 token
     cutoff_idx = jnp.sum(cdf < top_p, axis=-1, keepdims=True)
+    cutoff_idx = jnp.clip(cutoff_idx, 0, logits.shape[-1] - 1)
     cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
     return jnp.where(logits < cutoff, NEG_INF, logits)
 
@@ -51,8 +51,7 @@ def _top_p_filter(logits: jax.Array, top_p: float) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "module", "max_length", "temperature", "do_sample", "top_p",
-        "repetition_penalty", "eos_token_id", "pad_token_id",
+        "module", "max_length", "do_sample", "eos_token_id", "pad_token_id",
     ),
 )
 def _greedy_or_sample(
@@ -60,15 +59,18 @@ def _greedy_or_sample(
     params,
     vision_embeddings,
     rng,
+    temperature,
+    top_p,
+    repetition_penalty,
     *,
     max_length: int,
-    temperature: float,
     do_sample: bool,
-    top_p: float,
-    repetition_penalty: float,
     eos_token_id: int,
     pad_token_id: int,
 ):
+    # temperature/top_p/repetition_penalty are TRACED so sweeping sampling
+    # settings does not recompile the decode graph (only shape-affecting
+    # arguments stay static).
     batch = vision_embeddings.shape[0]
     vocab = module.decoder_config.vocab_size
     cache_len = max_length + 1  # +1 for the vision token at position 0
@@ -84,7 +86,7 @@ def _greedy_or_sample(
     def pick(logits, presence, key):
         logits = _apply_repetition_penalty(logits.astype(jnp.float32), presence, repetition_penalty)
         if do_sample:
-            logits = logits / max(temperature, 1e-6)
+            logits = logits / jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
             logits = _top_p_filter(logits, top_p)
             return jax.random.categorical(key, logits, axis=-1)
         return jnp.argmax(logits, axis=-1)
@@ -125,18 +127,18 @@ def _greedy_or_sample(
     jax.jit,
     static_argnames=(
         "module", "max_length", "num_beams", "length_penalty",
-        "repetition_penalty", "eos_token_id", "pad_token_id",
+        "eos_token_id", "pad_token_id",
     ),
 )
 def _beam_search(
     module,
     params,
     vision_embeddings,
+    repetition_penalty,
     *,
     max_length: int,
     num_beams: int,
     length_penalty: float,
-    repetition_penalty: float,
     eos_token_id: int,
     pad_token_id: int,
 ):
@@ -164,11 +166,16 @@ def _beam_search(
     presence = jax.nn.one_hot(tok0, vocab, dtype=jnp.int32)  # (B,K,V)
     live_finished = tok0 == eos_token_id
 
-    fin_seqs = jnp.full((batch, k, max_length), pad_token_id, jnp.int32)
-    fin_scores = jnp.full((batch, k), NEG_INF, jnp.float32)
-
     def lp_norm(score, length):
         return score / jnp.power(length.astype(jnp.float32), length_penalty)
+
+    # Beams whose FIRST token is EOS are complete hypotheses of length 1;
+    # record them now (they can never re-enter the finished pool later).
+    fin_seqs = jnp.where(live_finished[..., None], live_seqs,
+                         jnp.full((batch, k, max_length), pad_token_id, jnp.int32))
+    fin_scores = jnp.where(
+        live_finished, lp_norm(live_scores, jnp.asarray(1)), NEG_INF
+    ).astype(jnp.float32)
 
     def step(carry, t):
         live_seqs, live_scores, live_finished, presence, fin_seqs, fin_scores, caches = carry
@@ -267,6 +274,11 @@ def generate(
 
     ``num_beams > 1`` uses beam search (sampling flags ignored, as in HF when
     beams dominate); otherwise greedy or top-p sampling per ``do_sample``.
+
+    ``bos_token_id`` is accepted for API symmetry but unused: like the
+    reference's HF ``generate(inputs_embeds=...)`` path (model.py:611-617),
+    decoding is seeded by the projected vision embedding at position 0 and
+    the first text token is predicted directly from it.
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -275,10 +287,10 @@ def generate(
             module,
             params,
             vision_embeddings,
+            repetition_penalty,
             max_length=max_length,
             num_beams=num_beams,
             length_penalty=length_penalty,
-            repetition_penalty=repetition_penalty,
             eos_token_id=eos_token_id,
             pad_token_id=pad_token_id,
         )
@@ -287,11 +299,11 @@ def generate(
         params,
         vision_embeddings,
         rng,
+        temperature,
+        top_p,
+        repetition_penalty,
         max_length=max_length,
-        temperature=temperature,
         do_sample=do_sample,
-        top_p=top_p,
-        repetition_penalty=repetition_penalty,
         eos_token_id=eos_token_id,
         pad_token_id=pad_token_id,
     )

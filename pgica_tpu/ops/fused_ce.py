@@ -136,18 +136,28 @@ def _fused(hidden, embedding, targets, block_r, block_v, interpret):
     return out
 
 
+def _pad_vocab(embedding, block_v):
+    """Pad embedding rows to a block multiple; kernels mask cols >= true vocab."""
+    vocab = embedding.shape[0]
+    padded = ((vocab + block_v - 1) // block_v) * block_v
+    if padded != vocab:
+        embedding = jnp.pad(embedding, ((0, padded - vocab), (0, 0)))
+    return embedding, padded
+
+
 def _fused_fwd_impl(hidden, embedding, targets, block_r, block_v, interpret):
     rows, d = hidden.shape
     vocab = embedding.shape[0]
     br = _pick_block(rows, block_r)
     bv = min(block_v, vocab)
+    emb_padded, vocab_padded = _pad_vocab(embedding, bv)
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_v=bv, vocab=vocab),
         grid=(rows // br,),
         in_specs=[
             pl.BlockSpec((br, d), lambda i: (i, 0)),
-            pl.BlockSpec((vocab, d), lambda i: (0, 0)),
+            pl.BlockSpec((vocab_padded, d), lambda i: (0, 0)),
             pl.BlockSpec((1, 1, br), lambda i: (0, 0, i)),
         ],
         out_specs=[
@@ -159,7 +169,7 @@ def _fused_fwd_impl(hidden, embedding, targets, block_r, block_v, interpret):
             jax.ShapeDtypeStruct((1, 1, rows), jnp.float32),
         ],
         interpret=interpret,
-    )(hidden, embedding, targets.reshape(1, 1, rows))
+    )(hidden, emb_padded, targets.reshape(1, 1, rows))
     return out.reshape(rows), lse.reshape(rows)
 
 
@@ -173,7 +183,8 @@ def _fused_bwd(block_r, block_v, interpret, residuals, g):
     rows, d = hidden.shape
     vocab = embedding.shape[0]
     br = _pick_block(rows, block_r)
-    bv = _pick_block(vocab, block_v)
+    bv = min(block_v, vocab)
+    emb_padded, vocab_padded = _pad_vocab(embedding, bv)
 
     y3 = targets.reshape(1, 1, rows)
     lse3 = lse.reshape(1, 1, rows)
@@ -184,7 +195,7 @@ def _fused_bwd(block_r, block_v, interpret, residuals, g):
         grid=(rows // br,),
         in_specs=[
             pl.BlockSpec((br, d), lambda i: (i, 0)),
-            pl.BlockSpec((vocab, d), lambda i: (0, 0)),
+            pl.BlockSpec((vocab_padded, d), lambda i: (0, 0)),
             pl.BlockSpec((1, 1, br), lambda i: (0, 0, i)),
             pl.BlockSpec((1, 1, br), lambda i: (0, 0, i)),
             pl.BlockSpec((1, 1, br), lambda i: (0, 0, i)),
@@ -192,14 +203,14 @@ def _fused_bwd(block_r, block_v, interpret, residuals, g):
         out_specs=pl.BlockSpec((br, d), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, d), hidden.dtype),
         interpret=interpret,
-    )(hidden, embedding, y3, lse3, g3)
+    )(hidden, emb_padded, y3, lse3, g3)
 
     y2 = targets.reshape(1, rows)
     lse2 = lse.reshape(1, rows)
     g2 = g.astype(jnp.float32).reshape(1, rows)
     dw = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, block_r=br, rows=rows),
-        grid=(vocab // bv,),
+        grid=(vocab_padded // bv,),
         in_specs=[
             pl.BlockSpec((rows, d), lambda i: (0, 0)),
             pl.BlockSpec((1, bv, d), lambda i: (i, 0, 0)),
@@ -208,11 +219,11 @@ def _fused_bwd(block_r, block_v, interpret, residuals, g):
             pl.BlockSpec((1, rows), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bv, d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((vocab // bv, bv, d), embedding.dtype),
+        out_shape=jax.ShapeDtypeStruct((vocab_padded // bv, bv, d), embedding.dtype),
         interpret=interpret,
-    )(hidden, embedding.reshape(vocab // bv, bv, d), y2, lse2, g2)
+    )(hidden, emb_padded.reshape(vocab_padded // bv, bv, d), y2, lse2, g2)
 
-    return dh, dw.reshape(vocab, d), None
+    return dh, dw.reshape(vocab_padded, d)[:vocab], None
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)

@@ -111,14 +111,24 @@ def stage1_loss_fn(
 
 
 def make_stage1_train_step(
-    module, optimizer: optax.GradientTransformation, temperature: float, augment: bool = True
+    module,
+    optimizer: optax.GradientTransformation,
+    temperature: float,
+    augment: bool = True,
+    axis_name: Optional[str] = None,
 ) -> Callable:
-    """Returns jit-ready fn(state, batch, rng) -> (state, metrics)."""
+    """Returns jit-ready fn(state, batch, rng) -> (state, metrics).
+
+    ``axis_name`` is only for explicit-collective execution (shard_map/pmap):
+    it all-gathers NT-Xent negatives over that mesh axis. Under plain jit with
+    sharded batches, leave it None — XLA's SPMD partitioner already computes
+    the global similarity matrix.
+    """
 
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         (loss, metrics), grads = jax.value_and_grad(stage1_loss_fn, has_aux=True)(
-            state.params, batch, rng, module, temperature, augment
+            state.params, batch, rng, module, temperature, augment, axis_name
         )
         new_state, grad_norm = _apply_update(state, grads, optimizer, loss)
         metrics["grad_norm"] = grad_norm

@@ -198,7 +198,7 @@ class PreferenceGuidedTrainer:
         num_epochs = int(cfg.get("num_epochs", 1))
         optimizer = self._make_optimizer(1, len(self.train_loader))
         params = self._shard_state_params(self.model.params)
-        state = TrainState.create(params, optimizer)
+        state = self._maybe_resume_opt_state(TrainState.create(params, optimizer))
         temperature = float(self.config.get("model.temperature", 0.5))
 
         train_step = jax.jit(
@@ -223,7 +223,7 @@ class PreferenceGuidedTrainer:
 
             self.model.params = state.params
             self.checkpoints.save_epoch(
-                1, epoch, params=state.params,
+                1, epoch, params=state.params, opt_state=state.opt_state,
                 global_step=self.global_step, val_loss=val_loss,
                 config=self.config.to_dict(),
             )
@@ -255,7 +255,7 @@ class PreferenceGuidedTrainer:
 
         optimizer = self._make_optimizer(2, len(self.preference_train_loader))
         params = self._shard_state_params(self.model.params)
-        state = TrainState.create(params, optimizer)
+        state = self._maybe_resume_opt_state(TrainState.create(params, optimizer))
         reference_free = bool(cfg.get("reference_free", False))
         # Frozen reference policy = the policy at stage-2 start (standard DPO).
         # Deep copy: the train state is donated, so the reference must own
@@ -303,7 +303,7 @@ class PreferenceGuidedTrainer:
 
             self.model.params = state.params
             self.checkpoints.save_epoch(
-                2, epoch, params=state.params,
+                2, epoch, params=state.params, opt_state=state.opt_state,
                 global_step=self.global_step, val_loss=val_loss,
                 config=self.config.to_dict(),
             )
@@ -363,8 +363,16 @@ class PreferenceGuidedTrainer:
                 host = {k: float(v) for k, v in metrics.items()}
                 self._log_metrics(host, self.global_step, prefix=f"stage{stage}/train")
             losses.append(metrics["loss"])
-        # Single host sync per epoch for the mean loss.
-        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        # Single host sync per epoch for the mean loss; NaN-skipped steps are
+        # excluded (reference semantics, trainer.py:523-544).
+        if losses:
+            stacked = jnp.stack(losses)
+            finite = jnp.isfinite(stacked)
+            mean_loss = float(
+                jnp.sum(jnp.where(finite, stacked, 0.0)) / jnp.clip(jnp.sum(finite), 1, None)
+            )
+        else:
+            mean_loss = float("nan")
         dt = time.perf_counter() - t0
         skipped = int(state.skipped)
         logger.info(
@@ -453,8 +461,32 @@ class PreferenceGuidedTrainer:
     def load_checkpoint(self, path) -> Dict[str, Any]:
         payload = self.checkpoints.restore(path)
         self.model.params = jax.tree.map(jnp.asarray, payload["params"])
+        # Optimizer state (Adam moments + schedule counter) resumes the next
+        # stage start when its tree structure matches the fresh optimizer.
+        self._restored_opt_state = payload.get("opt_state")
         meta = payload.get("meta", {})
         self.global_step = int(meta.get("global_step", 0) or 0)
         self.current_epoch = int(meta.get("epoch", 0) or 0)
         logger.info("Restored checkpoint from %s (step %d)", path, self.global_step)
         return meta
+
+    def _maybe_resume_opt_state(self, state: TrainState) -> TrainState:
+        restored = getattr(self, "_restored_opt_state", None)
+        if restored is None:
+            return state
+        self._restored_opt_state = None  # consume once
+        try:
+            fresh_leaves, fresh_def = jax.tree_util.tree_flatten(state.opt_state)
+            rest_leaves, rest_def = jax.tree_util.tree_flatten(restored)
+            if fresh_def != rest_def or len(fresh_leaves) != len(rest_leaves):
+                raise ValueError("optimizer state structure changed")
+            restored_typed = jax.tree_util.tree_unflatten(
+                fresh_def, [jnp.asarray(r) for r in rest_leaves]
+            )
+            logger.info("Resumed optimizer state from checkpoint")
+            return state.replace(
+                opt_state=restored_typed, step=jnp.asarray(self.global_step, jnp.int32)
+            )
+        except Exception as e:
+            logger.warning("Could not resume optimizer state (%s); starting fresh", e)
+            return state

@@ -99,3 +99,32 @@ class TestFusedNTXent:
         g_plain = jax.grad(lambda a: ntxent_loss(a, txt, 0.5)[0])(img)
         g_fused = jax.grad(lambda a: ntxent_loss_fused(a, txt, 0.5)[0])(img)
         np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_plain), atol=1e-5)
+
+
+class TestNonDivisibleVocab:
+    """Regression: vocab not divisible by block_vocab (e.g. GPT-2's 50257)."""
+
+    def test_forward_matches_xla(self, rng):
+        h = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(67, 8)).astype(np.float32))  # 67 % 16 != 0
+        y = jnp.asarray(rng.integers(0, 67, (16,)).astype(np.int32))
+        ref = _xla_token_logprobs(h, w, y)
+        out = _fused(h, w, y, 8, 16, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_targets_in_final_partial_block(self, rng):
+        h = jnp.asarray(rng.normal(size=(8, 8)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(67, 8)).astype(np.float32))
+        y = jnp.full((8,), 66, jnp.int32)  # last row of the partial block
+        ref = _xla_token_logprobs(h, w, y)
+        out = _fused(h, w, y, 8, 16, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_grads_match_xla(self, rng):
+        h = jnp.asarray(rng.normal(size=(8, 8)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(67, 8)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, 67, (8,)).astype(np.int32))
+        gf = jax.grad(lambda h, w: jnp.sum(_fused(h, w, y, 8, 16, True)), argnums=(0, 1))(h, w)
+        gr = jax.grad(lambda h, w: jnp.sum(_xla_token_logprobs(h, w, y)), argnums=(0, 1))(h, w)
+        np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]), atol=1e-4)

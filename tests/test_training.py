@@ -266,3 +266,23 @@ class TestGradientAccumulation:
             state, _ = step(state, batch, jax.random.PRNGKey(0))
         after = np.asarray(state.params["text_encoder"]["projection"]["fc1"]["kernel"])
         assert not np.allclose(after, before)
+
+
+class TestReviewRegressions:
+    def test_epoch_mean_excludes_nan_skipped(self, tiny_trainer, tokenizer):
+        """A poisoned batch must not corrupt the epoch train-loss average."""
+        items = tiny_trainer.train_loader.dataset
+        # poison one item's image with NaN
+        poisoned = items[0]
+        poisoned["image"] = np.full_like(poisoned["image"], np.nan)
+        result = tiny_trainer.train_stage1()
+        assert np.isfinite(result["history"][0]["train_loss"])
+
+    def test_checkpoint_carries_opt_state_and_resumes(self, tiny_trainer):
+        tiny_trainer.train_stage1()
+        payload = tiny_trainer.checkpoints.restore("checkpoint_stage1_epoch0")
+        assert "opt_state" in payload  # Adam moments + schedule counter saved
+        tiny_trainer.load_checkpoint("checkpoint_stage1_epoch0")
+        assert tiny_trainer._restored_opt_state is not None
+        # next stage start consumes it without error
+        tiny_trainer.train_stage1()
