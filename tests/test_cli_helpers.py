@@ -1,0 +1,96 @@
+"""CLI helper-function tests (target comparison, report structure, TSV data)."""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def _load_script(name: str):
+    spec = importlib.util.spec_from_file_location(name, ROOT / "scripts" / f"{name}.py")
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[name] = module
+    spec.loader.exec_module(module)
+    return module
+
+
+@pytest.fixture(scope="module")
+def run_eval():
+    return _load_script("run_evaluation")
+
+
+class TestCompareWithTargets:
+    def test_higher_is_better(self, run_eval):
+        cmp = run_eval.compare_with_targets(
+            {"cider_score": 1.2}, {"cider_score": 1.15}
+        )
+        assert cmp["cider_score"]["met"] is True
+
+    def test_latency_lower_is_better(self, run_eval):
+        cmp = run_eval.compare_with_targets(
+            {"latency_ms_p95": 100.0}, {"latency_ms_p95": 150}
+        )
+        assert cmp["latency_ms_p95"]["met"] is True
+        cmp = run_eval.compare_with_targets(
+            {"latency_ms_p95": 200.0}, {"latency_ms_p95": 150}
+        )
+        assert cmp["latency_ms_p95"]["met"] is False
+
+    def test_missing_metric_is_null(self, run_eval):
+        cmp = run_eval.compare_with_targets({}, {"human_eval_helpfulness": 4.2})
+        assert cmp["human_eval_helpfulness"]["met"] is None
+
+
+class TestEvaluationReport:
+    def test_sections(self, run_eval):
+        results = {
+            "num_samples": 4,
+            "metrics": {
+                "bleu_4": 0.3, "rouge_l": 0.5, "cider_score": 0.8,
+                "preference_win_rate": 0.6, "distinct_1": 0.9,
+                "latency_ms_p95": 42.0, "bert_score_f1": 0.7,
+            },
+        }
+        report = run_eval.generate_evaluation_report(results, {"cider_score": 1.15})
+        assert report["num_samples"] == 4
+        assert "bleu_4" in report["caption_quality"]
+        assert "preference_win_rate" in report["preference_alignment"]
+        assert "distinct_1" in report["diversity"]
+        assert "latency_ms_p95" in report["efficiency"]
+        assert report["target_comparison"]["cider_score"]["met"] is False
+
+
+class TestTSVDataset:
+    def test_tsv_loading(self, temp_dataset_dir, tmp_path):
+        from pgica_tpu.data import ConceptualCaptionsDataset, ImageProcessor, TextProcessor
+
+        tsv = tmp_path / "data.tsv"
+        rows = ["url\tcaption"]
+        for i in range(3):
+            rows.append(f"{temp_dataset_dir}/images/img_{i}.jpg\ttsv caption {i}")
+        tsv.write_text("\n".join(rows))
+        ds = ConceptualCaptionsDataset(
+            tsv, ImageProcessor(image_size=32), TextProcessor(max_length=16)
+        )
+        assert len(ds) == 3
+        assert ds[2]["raw_caption"] == "tsv caption 2"
+
+    def test_json_with_data_wrapper(self, temp_dataset_dir, tmp_path):
+        import json
+
+        from pgica_tpu.data import ConceptualCaptionsDataset, ImageProcessor, TextProcessor
+
+        wrapped = {"data": [
+            {"image_url": f"{temp_dataset_dir}/images/img_0.jpg", "text": "wrapped caption"}
+        ]}
+        p = tmp_path / "wrapped.json"
+        p.write_text(json.dumps(wrapped))
+        ds = ConceptualCaptionsDataset(
+            p, ImageProcessor(image_size=32), TextProcessor(max_length=16)
+        )
+        assert len(ds) == 1
+        assert ds[0]["raw_caption"] == "wrapped caption"
