@@ -4,7 +4,9 @@
 Runs on whatever accelerator JAX exposes (the real TPU under axon). Measures
 the Stage-1 contrastive train step (the dominant phase of the reference's
 dual-stage pipeline) on synthetic data at reference-scale shapes:
-frozen CLIP ViT-B/32 + GPT-2 Medium, 224x224 images, 128-token captions,
+frozen CLIP ViT-B/32 + GPT-2 Medium at the TRUE GPT-2 vocabulary
+(50,257 + 5 specials = 50,262 rows -> 867M total params, matching the
+reference budget, README.md:141-142), 224x224 images, 128-token captions,
 bf16 compute, donated buffers. Remat is off (activations fit at these
 shapes; the bench grid measured remat costing ~10%) and attention uses the
 XLA path (faster than the flash kernel at seq 128 / head_dim 64 — see
@@ -23,6 +25,10 @@ import sys
 import time
 
 BASELINE_PAIRS_PER_SEC = 52.0  # RTX 3090, reference stage 1 (see docstring)
+# Reference text stack: GPT-2 Medium with its real vocab resized by 5 specials
+# (reference model.py:311,505, preprocessing.py:176-197). Benchmarking at a
+# byte-fallback 261-token vocab (round 1) undercounted wte/logit cost.
+GPT2_VOCAB = 50257 + 5
 
 # Persistent XLA compilation cache: the first bench run pays the (minutes-long
 # over the axon tunnel) compile; later runs start hot.
@@ -49,13 +55,12 @@ def run_bench(batch_size: int, steps: int = 10, warmup: int = 2) -> float:
     from pgica_tpu.training.optim import create_optimizer
     from pgica_tpu.training.train_step import TrainState, make_stage1_train_step
 
-    tokenizer = CaptionTokenizer()
     module = build_module(
         vision_model="openai/clip-vit-base-patch32",
         text_model="gpt2-medium",
         projection_dim=512,
         temperature=0.5,
-        vocab_size=tokenizer.vocab_size,
+        vocab_size=GPT2_VOCAB,
         max_caption_length=128,
         dtype=jnp.bfloat16,
         remat=False,
@@ -64,7 +69,7 @@ def run_bench(batch_size: int, steps: int = 10, warmup: int = 2) -> float:
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32))
-    ids = jnp.asarray(rng.integers(0, 250, (batch_size, 128)).astype(np.int32))
+    ids = jnp.asarray(rng.integers(0, GPT2_VOCAB, (batch_size, 128)).astype(np.int32))
     mask = jnp.ones((batch_size, 128), jnp.int32)
 
     t0 = time.time()
@@ -116,16 +121,15 @@ def run_stage2_bench(batch_size: int = 16, steps: int = 5, warmup: int = 2) -> f
     from pgica_tpu.training.optim import create_optimizer
     from pgica_tpu.training.train_step import TrainState, make_stage2_train_step
 
-    tokenizer = CaptionTokenizer()
     module = build_module(
         vision_model="openai/clip-vit-base-patch32", text_model="gpt2-medium",
-        projection_dim=512, vocab_size=tokenizer.vocab_size,
+        projection_dim=512, vocab_size=GPT2_VOCAB,
         max_caption_length=128, dtype=jnp.bfloat16, remat=False,
         freeze_vision_backbone=True,
     )
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32))
-    ids = jnp.asarray(rng.integers(0, 250, (batch_size, 128)).astype(np.int32))
+    ids = jnp.asarray(rng.integers(0, GPT2_VOCAB, (batch_size, 128)).astype(np.int32))
     mask = jnp.ones((batch_size, 128), jnp.int32)
     params = module.init(
         jax.random.PRNGKey(0), images[:1], ids[:1], mask[:1], mode="dual"
@@ -167,7 +171,7 @@ def run_eval_bench(batch_size: int = 16, max_length: int = 64) -> float:
     model = PreferenceGuidedCaptioningModel(
         vision_model="openai/clip-vit-base-patch32", text_model="gpt2-medium",
         projection_dim=512, tokenizer=tokenizer, max_caption_length=128,
-        dtype=jnp.bfloat16, seed=0,
+        dtype=jnp.bfloat16, seed=0, vocab_size=GPT2_VOCAB,
     )
     rng = np.random.default_rng(0)
     images = rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32)
@@ -189,11 +193,11 @@ def main():
     args, _ = ap.parse_known_args()
     if args.mode == "stage2":
         v = run_stage2_bench()
-        print(json.dumps({"metric": "stage2 DPO pairs/sec/chip", "value": round(v, 2), "unit": "pairs/s/chip", "vs_baseline": None}))
+        print(json.dumps({"metric": "stage2 DPO pairs/sec/chip (vocab 50262)", "value": round(v, 2), "unit": "pairs/s/chip", "vs_baseline": None}))
         return 0
     if args.mode == "eval":
         v = run_eval_bench()
-        print(json.dumps({"metric": "eval captions/sec/chip", "value": round(v, 2), "unit": "captions/s/chip", "vs_baseline": None}))
+        print(json.dumps({"metric": "eval captions/sec/chip (vocab 50262)", "value": round(v, 2), "unit": "captions/s/chip", "vs_baseline": None}))
         return 0
     batch_sizes = [64, 32, 16, 8]
     value = None
@@ -217,7 +221,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "stage1 pairs/sec/chip (ViT-B/32 + GPT-2 Medium, bs auto)",
+                "metric": "stage1 pairs/sec/chip (ViT-B/32 + GPT-2 Medium 867M, vocab 50262)",
                 "value": round(per_chip, 2),
                 "unit": "pairs/s/chip",
                 "vs_baseline": round(per_chip / BASELINE_PAIRS_PER_SEC, 2),

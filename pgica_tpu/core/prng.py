@@ -20,6 +20,8 @@ PURPOSES: Dict[str, int] = {
     "augment": 2,
     "sampling": 3,
     "data": 4,
+    "train_stage1": 5,
+    "train_stage2": 6,
 }
 
 

@@ -52,11 +52,27 @@ def _ngram_counts(tokens: Sequence[str], n: int) -> Counter:
 class CaptioningMetrics:
     """All caption metrics behind one object (reference surface parity)."""
 
-    def __init__(self, device: Optional[str] = None, cache_dir: Optional[str] = None, model=None):
+    def __init__(
+        self,
+        device: Optional[str] = None,
+        cache_dir: Optional[str] = None,
+        model=None,
+        clip_judge=None,
+        bert_model_path: Optional[str] = None,
+    ):
         # device/cache_dir kept for reference API parity; JAX manages devices.
         self.device = device
         self.cache_dir = cache_dir
         self.model = model  # optional PreferenceGuidedCaptioningModel for clip/bert scores
+        # Independent CLIP-Score judge (reference loads a SECOND frozen CLIP,
+        # metrics.py:380-439): any object with compute_similarity/tokenizer/
+        # temperature/max_caption_length — e.g. a separately-trained
+        # PreferenceGuidedCaptioningModel restored from a judge checkpoint.
+        self.clip_judge = clip_judge
+        # Local HF encoder checkpoint directory for REAL BERTScore embeddings
+        # (transformers + torch-cpu run offline against local files).
+        self.bert_model_path = bert_model_path
+        self._hf_bert = None
 
     # ------------------------------------------------------------------ BLEU
 
@@ -179,11 +195,65 @@ class CaptioningMetrics:
     def compute_meteor_score(
         self, predictions: List[str], references: List[List[str]]
     ) -> Dict[str, float]:
+        """METEOR with real nltk semantics (reference metrics.py:311-338).
+
+        Uses nltk's ``single_meteor_score`` (exact + Porter-stem alignment
+        stages, alpha=0.9/beta=3/gamma=0.5) when nltk is importable. The
+        wordnet-synonym stage needs the wordnet corpus; when it is absent a
+        no-op wordnet is substituted — exact nltk behavior minus synonym-only
+        matches — and ``meteor_synonym_stage`` is 0.0 to mark the deviation.
+        Falls back to the built-in implementation (``meteor_nltk=0.0``) only
+        when nltk itself is missing.
+        """
         references = self._listify(references)
+        scorer = self._nltk_meteor_pair()
+        flags = {"meteor_nltk": 1.0 if scorer else 0.0}
+        if scorer is None:
+            scorer = self._meteor_pair
+            flags["meteor_synonym_stage"] = 0.0
+        else:
+            flags["meteor_synonym_stage"] = 1.0 if self._wordnet_available() else 0.0
         scores = []
         for pred, refs in zip(predictions, references):
-            scores.append(max(self._meteor_pair(pred, ref) for ref in refs) if refs else 0.0)
-        return {"meteor": float(np.mean(scores)) if scores else 0.0}
+            scores.append(max(scorer(pred, ref) for ref in refs) if refs else 0.0)
+        return {"meteor": float(np.mean(scores)) if scores else 0.0, **flags}
+
+    @staticmethod
+    def _wordnet_available() -> bool:
+        try:
+            from nltk.corpus import wordnet
+
+            wordnet.synsets("test")
+            return True
+        except Exception:
+            return False
+
+    def _nltk_meteor_pair(self):
+        """Returns fn(pred, ref) -> float backed by nltk, or None."""
+        try:
+            from nltk.stem.porter import PorterStemmer
+            from nltk.translate.meteor_score import single_meteor_score
+        except Exception:
+            return None
+
+        stemmer = PorterStemmer()
+        if self._wordnet_available():
+            from nltk.corpus import wordnet
+        else:
+            class wordnet:  # no-op synonym stage (corpus unavailable offline)
+                @staticmethod
+                def synsets(word):
+                    return []
+
+        def pair(pred: str, ref: str) -> float:
+            return float(
+                single_meteor_score(
+                    word_tokenize(ref), word_tokenize(pred),
+                    stemmer=stemmer, wordnet=wordnet,
+                )
+            )
+
+        return pair
 
     @staticmethod
     def _stem(tok: str) -> str:
@@ -278,10 +348,68 @@ class CaptioningMetrics:
     def compute_bert_score(
         self, predictions: List[str], references: List[List[str]]
     ) -> Dict[str, float]:
+        """BERTScore (reference metrics.py:340-378). Priority order:
+
+        1. real pretrained-LM embeddings from a local HF checkpoint
+           (``bert_model_path``) — ``bert_score_proxy = 0.0``;
+        2. the framework's own text tower — flagged proxy (self-embeddings
+           are not an independent judge);
+        3. character-trigram soft-F1 — flagged proxy.
+        """
         references = self._listify(references)
+        if self.bert_model_path:
+            try:
+                return self._bert_score_hf(predictions, references)
+            except Exception as e:  # pragma: no cover - depends on local files
+                logger.warning("bert_model_path unusable (%s); falling back to proxy", e)
         if self.model is not None:
             return self._bert_score_model(predictions, references)
         return self._bert_score_chargram(predictions, references)
+
+    def _bert_score_hf(self, predictions, references) -> Dict[str, float]:
+        """Greedy-matching BERTScore over real pretrained-LM token embeddings
+        (standard BERTScore without idf weighting, matching the reference's
+        default; reference metrics.py:340-378)."""
+        import torch
+
+        if self._hf_bert is None:
+            from transformers import AutoModel, AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(self.bert_model_path)
+            mdl = AutoModel.from_pretrained(self.bert_model_path)
+            mdl.eval()
+            self._hf_bert = (tok, mdl)
+        tok, mdl = self._hf_bert
+
+        @torch.no_grad()
+        def embed(text: str):
+            enc = tok(text, return_tensors="pt", truncation=True, max_length=128)
+            h = mdl(**enc).last_hidden_state[0]  # (T, D)
+            return torch.nn.functional.normalize(h, dim=-1)
+
+        p_scores, r_scores, f_scores = [], [], []
+        for pred, refs in zip(predictions, references):
+            ph = embed(pred)
+            best = (0.0, 0.0, 0.0)
+            for ref in refs:
+                rh = embed(ref)
+                sim = (ph @ rh.T).numpy()
+                if sim.size == 0:
+                    continue
+                p = float(sim.max(axis=1).mean())
+                r = float(sim.max(axis=0).mean())
+                f = 2 * p * r / (p + r) if p + r > 0 else 0.0
+                if f > best[2]:
+                    best = (p, r, f)
+            p_scores.append(best[0])
+            r_scores.append(best[1])
+            f_scores.append(best[2])
+        return {
+            "bert_score_precision": float(np.mean(p_scores)) if p_scores else 0.0,
+            "bert_score_recall": float(np.mean(r_scores)) if r_scores else 0.0,
+            "bert_score_f1": float(np.mean(f_scores)) if f_scores else 0.0,
+            "bert_score_proxy": 0.0,
+        }
 
     def _bert_score_chargram(self, predictions, references) -> Dict[str, float]:
         """Character-trigram soft-F1 proxy (no pretrained LM available offline)."""
@@ -354,20 +482,25 @@ class CaptioningMetrics:
             "bert_score_precision": float(np.mean(p_scores)) if p_scores else 0.0,
             "bert_score_recall": float(np.mean(r_scores)) if r_scores else 0.0,
             "bert_score_f1": float(np.mean(f_scores)) if f_scores else 0.0,
-            "bert_score_proxy": 0.0,
+            "bert_score_proxy": 1.0,  # self-embeddings are not an independent judge
         }
 
     # ------------------------------------------------------------------ CLIP score
 
     def compute_clip_score(self, images, captions: List[str]) -> Dict[str, float]:
-        """Per-pair image-text similarity via the framework's aligned model.
+        """Per-pair image-text similarity (reference metrics.py:380-439).
 
-        The reference loads a second CLIP ViT-B/32 and reports mean/std of the
-        per-pair logits (metrics.py:380-439); here the trained contrastive
-        model itself scores its captions (cosine similarity x100 for scale
-        parity with CLIP logits).
+        The reference scores with a SECOND, independent frozen CLIP ViT-B/32;
+        pass such a judge as ``clip_judge`` (any contrastive model with the
+        wrapper API — e.g. a separately-trained checkpoint restored via
+        ``evaluation.clip_judge_checkpoint``). Without one, the model under
+        evaluation scores itself — a circular metric that cannot detect
+        contrastive-head collapse — and the output carries
+        ``clip_score_self_judged: 1.0`` so reports can't be misread as
+        independent judgments.
         """
-        if self.model is None:
+        scorer = self.clip_judge or self.model
+        if scorer is None:
             logger.warning("compute_clip_score requires a model; returning zeros")
             return {"clip_score_mean": 0.0, "clip_score_std": 0.0}
         # Score over min(len(images), len(captions)) aligned pairs — callers
@@ -375,15 +508,16 @@ class CaptioningMetrics:
         n = min(len(images), len(captions))
         images = images[:n]
         captions = list(captions[:n])
-        tok = self.model.tokenizer
-        ids_mask = [tok.encode_padded(c, self.model.max_caption_length) for c in captions]
+        tok = scorer.tokenizer
+        ids_mask = [tok.encode_padded(c, scorer.max_caption_length) for c in captions]
         ids = np.stack([x[0] for x in ids_mask])
         mask = np.stack([x[1] for x in ids_mask])
-        sim = np.asarray(self.model.compute_similarity(images, ids, mask), np.float32)
-        per_pair = np.diag(sim) * self.model.temperature * 100.0  # undo temperature, CLIP-logit scale
+        sim = np.asarray(scorer.compute_similarity(images, ids, mask), np.float32)
+        per_pair = np.diag(sim) * scorer.temperature * 100.0  # undo temperature, CLIP-logit scale
         return {
             "clip_score_mean": float(per_pair.mean()),
             "clip_score_std": float(per_pair.std()),
+            "clip_score_self_judged": 0.0 if self.clip_judge is not None else 1.0,
         }
 
     # ------------------------------------------------------------------ preference

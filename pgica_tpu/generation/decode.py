@@ -214,8 +214,11 @@ def _beam_search(
         fin_scores2 = best_fin[0]
         fin_seqs2 = jnp.take_along_axis(all_fin_seqs, best_fin[1][..., None], axis=1)
 
-        # --- pick top-k live candidates (newly finished or previously finished-pad beams allowed to persist)
-        live_mask = ~now_finished
+        # --- pick top-k live candidates. Candidates that just finished OR
+        # come from an already-finished beam (pad continuations) are excluded:
+        # finished hypotheses live in the fin pool only, so they cannot crowd
+        # genuinely live beams out of the live set (HF semantics).
+        live_mask = ~now_finished & ~was_finished
         live_cand_scores = jnp.where(live_mask, cand_scores, NEG_INF)
         best_live = jax.lax.top_k(live_cand_scores, k)
         live_scores2 = best_live[0]
@@ -244,13 +247,18 @@ def _beam_search(
         step, carry, jnp.arange(1, max_length)
     )
 
-    # Prefer finished hypotheses; fall back to best live beam.
+    # Final selection compares the best finished hypothesis against the best
+    # live beam on length-penalty-normalized scores (HF finalize semantics:
+    # live beams are added to the hypothesis pool at the end, then the
+    # highest normalized score wins).
     live_norm = lp_norm(live_scores, jnp.asarray(max_length))
-    have_fin = fin_scores[:, 0] > NEG_INF / 2
     best_live_idx = jnp.argmax(live_norm, axis=1)
     best_live_seq = jnp.take_along_axis(live_seqs, best_live_idx[:, None, None], axis=1)[:, 0]
+    best_live_score = jnp.take_along_axis(live_norm, best_live_idx[:, None], axis=1)[:, 0]
+    have_fin = fin_scores[:, 0] > NEG_INF / 2
+    use_fin = have_fin & (fin_scores[:, 0] >= best_live_score)
     best_fin_seq = fin_seqs[:, 0]
-    return jnp.where(have_fin[:, None], best_fin_seq, best_live_seq)
+    return jnp.where(use_fin[:, None], best_fin_seq, best_live_seq)
 
 
 def generate(

@@ -30,6 +30,52 @@ import numpy as np
 from pgica_tpu.models.presets import LMConfig, ViTConfig
 
 
+def pad_vocab_rows(converted: Dict, module_params: Dict, name: str = "lm") -> Dict:
+    """Pad converted ``wte`` rows up to the module's vocabulary size.
+
+    HF GPT-2 artifacts carry 50,257 embedding rows, but the module's tokenizer
+    appends special tokens ([PAD]/[UNK]/[BOS]/[EOS]/[SEP] — data/tokenizer.py)
+    so the module vocab is a few ids larger. Installing the unpadded matrix
+    would silently clamp those ids to the last HF row in JAX gather and
+    mismatch the weight-tied logits width. The appended rows keep the module's
+    initialization (the reference resizes embeddings the same way —
+    reference model.py:315-324 ``resize_token_embeddings``).
+    """
+    wte = converted.get("wte", {}).get("embedding")
+    target = module_params.get("wte", {}).get("embedding")
+    if wte is None or target is None:
+        return converted
+    have, want = wte.shape[0], target.shape[0]
+    if have > want:
+        raise ValueError(
+            f"{name}: converted vocab {have} exceeds module vocab {want}; "
+            "rebuild the module with the checkpoint's tokenizer"
+        )
+    if have < want:
+        converted = dict(converted)
+        converted["wte"] = {
+            "embedding": np.concatenate([np.asarray(wte), np.asarray(target[have:])], axis=0)
+        }
+    return converted
+
+
+def assert_tree_shapes(converted: Dict, module_params: Dict, name: str = "") -> None:
+    """Raise if any converted leaf's shape disagrees with the module's params."""
+    import jax
+
+    flat_new = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_flatten_with_path(converted)[0]}
+    flat_old = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_flatten_with_path(module_params)[0]}
+    missing = sorted(set(flat_old) - set(flat_new))
+    extra = sorted(set(flat_new) - set(flat_old))
+    if missing or extra:
+        raise ValueError(f"{name}: converted param tree mismatch (missing={missing[:5]} extra={extra[:5]})")
+    for key, leaf in flat_new.items():
+        want = tuple(flat_old[key].shape)
+        have = tuple(np.shape(leaf))
+        if have != want:
+            raise ValueError(f"{name}{key}: converted shape {have} != module shape {want}")
+
+
 def _np(tensor) -> np.ndarray:
     try:
         return tensor.detach().cpu().numpy()

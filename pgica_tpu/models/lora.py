@@ -26,12 +26,19 @@ import numpy as np
 
 DEFAULT_TARGETS = ("q_proj", "v_proj")  # peft's c_attn ~ our fused q/k/v split
 
+# Reference scope: peft wraps the text encoder (model.py:352-394) and caption
+# decoder (model.py:543-559), never the vision tower. Restricting by path
+# prefix matters because our ViT blocks use the same q_proj/out_proj naming.
+DEFAULT_SCOPE = ("text_encoder/backbone", "caption_decoder/lm", "shared_lm")
+
 
 def _flatten(key_path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in key_path)
 
 
-def _is_target(path: str, targets: Sequence[str]) -> bool:
+def _is_target(path: str, targets: Sequence[str], scope: Sequence[str]) -> bool:
+    if scope and not any(path.startswith(s) for s in scope):
+        return False
     return path.endswith("/kernel") and any(
         re.search(rf"(^|/){re.escape(t)}/kernel$", path) for t in targets
     )
@@ -42,18 +49,20 @@ def init_lora(
     rng: jax.Array,
     rank: int = 16,
     targets: Sequence[str] = DEFAULT_TARGETS,
+    scope: Sequence[str] = DEFAULT_SCOPE,
 ) -> Dict[str, Tuple[jax.Array, jax.Array]]:
     """Create {path: (A, B)} factors for every targeted kernel.
 
     A ~ N(0, 1/rank) with shape (fan_in, rank); B zeros with shape
     (rank, fan_out_flat) — standard LoRA init so the adapter starts as a
-    no-op.
+    no-op. ``scope`` limits adaptation to the text towers (reference
+    semantics; see DEFAULT_SCOPE).
     """
     factors: Dict[str, Tuple[jax.Array, jax.Array]] = {}
     leaves = jax.tree_util.tree_flatten_with_path(params)[0]
     for key_path, leaf in leaves:
         path = _flatten(key_path)
-        if not _is_target(path, targets):
+        if not _is_target(path, targets, scope):
             continue
         fan_in = leaf.shape[0]
         fan_out = int(np.prod(leaf.shape[1:]))
@@ -88,3 +97,50 @@ def apply_lora(
 
 def count_lora_params(lora: Dict[str, Tuple[jax.Array, jax.Array]]) -> int:
     return sum(int(np.prod(a.shape)) + int(np.prod(b.shape)) for a, b in lora.values())
+
+
+# -- checkpoint (de)serialization ------------------------------------------------
+
+_SEP = "--"  # path separator safe for checkpoint key names ("/" nests in orbax)
+
+
+def lora_to_tree(lora: Dict[str, Tuple[jax.Array, jax.Array]]) -> Dict[str, Dict[str, jax.Array]]:
+    """Factors dict -> checkpoint-safe nested pytree."""
+    return {p.replace("/", _SEP): {"a": a, "b": b} for p, (a, b) in lora.items()}
+
+
+def lora_from_tree(tree: Dict[str, Dict[str, Any]]) -> Dict[str, Tuple[jax.Array, jax.Array]]:
+    return {p.replace(_SEP, "/"): (v["a"], v["b"]) for p, v in tree.items()}
+
+
+# -- peft-name translation -------------------------------------------------------
+
+# peft targets GPT-2's fused Conv1D module names (reference default.yaml:24-29);
+# this framework splits them into per-projection kernels.
+PEFT_NAME_MAP = {
+    "c_attn": ("q_proj", "k_proj", "v_proj"),
+    "c_proj": ("out_proj", "fc_out"),
+    "c_fc": ("fc_in",),
+}
+
+
+def normalize_lora_config(raw: Any) -> Any:
+    """``model.lora_config`` (peft schema: r/lora_alpha/target_modules/
+    lora_dropout, reference configs/default.yaml:24-29) -> internal dict
+    {rank, alpha, targets, dropout}. Returns None when LoRA is disabled.
+
+    ``lora_dropout`` is accepted for schema parity but inert: the merged-weight
+    formulation (W + (alpha/r)AB inside jit) has no separate low-rank
+    activation path to drop. Documented deviation.
+    """
+    if not raw:
+        return None
+    targets = []
+    for t in raw.get("target_modules", ["c_attn"]):
+        targets.extend(PEFT_NAME_MAP.get(t, (t,)))
+    return {
+        "rank": int(raw.get("r", raw.get("rank", 16))),
+        "alpha": float(raw.get("lora_alpha", raw.get("alpha", 32))),
+        "targets": tuple(dict.fromkeys(targets)),
+        "dropout": float(raw.get("lora_dropout", raw.get("dropout", 0.0))),
+    }

@@ -34,6 +34,12 @@ from pgica_tpu.ops.losses import caption_cross_entropy, l2_normalize
 logger = logging.getLogger(__name__)
 
 
+def _sampling_key(seed: int) -> jax.Array:
+    from pgica_tpu.core import prng
+
+    return prng.purpose_key(prng.root_key(seed), "sampling")
+
+
 class PreferenceGuidedCaptioningModule(nn.Module):
     """Composed Flax module: vision tower + text tower + caption decoder."""
 
@@ -215,6 +221,8 @@ class PreferenceGuidedCaptioningModel:
         remat: bool = False,
         seed: int = 0,
         image_size: Optional[int] = None,
+        lora_config: Optional[Dict[str, Any]] = None,
+        vocab_size: Optional[int] = None,
     ):
         self.tokenizer = tokenizer or CaptionTokenizer.from_pretrained(text_model)
         self.vision_model_name = vision_model
@@ -230,7 +238,10 @@ class PreferenceGuidedCaptioningModel:
             projection_dim=projection_dim,
             temperature=temperature,
             dropout=dropout,
-            vocab_size=self.tokenizer.vocab_size,
+            # ``vocab_size`` may pad the embedding beyond the tokenizer (e.g.
+            # benchmarking at GPT-2's 50,257-row budget with a smaller
+            # tokenizer, or MXU-friendly multiples); never below it.
+            vocab_size=max(vocab_size or 0, self.tokenizer.vocab_size),
             max_caption_length=max_caption_length,
             freeze_vision_backbone=freeze_vision_backbone,
             freeze_text_backbone=freeze_text_backbone,
@@ -240,7 +251,30 @@ class PreferenceGuidedCaptioningModel:
             remat=remat,
         )
         self.image_size = image_size or self.module.vision_config.image_size
-        self.params = self.init_params(jax.random.PRNGKey(seed))
+        from pgica_tpu.core import prng
+
+        root = prng.root_key(seed)
+        self.params = self.init_params(prng.purpose_key(root, "params"))
+
+        # LoRA (reference model.py:352-394, 543-559 via peft): adapter factors
+        # live in a separate tiny pytree; see models/lora.py. `lora_config`
+        # uses the normalized schema from lora.normalize_lora_config.
+        self.lora_config = lora_config
+        self.lora = None
+        if lora_config:
+            from pgica_tpu.models.lora import init_lora
+
+            if lora_config.get("dropout", 0.0):
+                logger.warning(
+                    "lora_dropout=%s accepted but inert in the merged-weight "
+                    "formulation (documented deviation)", lora_config["dropout"],
+                )
+            self.lora = init_lora(
+                self.params,
+                jax.random.fold_in(prng.purpose_key(root, "params"), 1),
+                rank=lora_config["rank"],
+                targets=lora_config["targets"],
+            )
         from pgica_tpu.data.augment import prepare_images
 
         self._jit_forward = jax.jit(
@@ -329,7 +363,7 @@ class PreferenceGuidedCaptioningModel:
             top_p=top_p,
             repetition_penalty=repetition_penalty,
             length_penalty=length_penalty,
-            rng=jax.random.PRNGKey(seed),
+            rng=_sampling_key(seed),
         )
         token_ids = np.asarray(token_ids)
         t_generate = time.perf_counter() - t0
@@ -373,13 +407,16 @@ class PreferenceGuidedCaptioningModel:
 
         params = jax.tree.map(lambda x: x, self.params)  # shallow copy of dict tree
         if vision_path:
-            params["vision_encoder"]["backbone"] = jax.tree.map(
-                jnp.asarray,
-                C.convert_clip_vision(_state_dict(vision_path), self.module.vision_config),
-            )
+            converted = C.convert_clip_vision(_state_dict(vision_path), self.module.vision_config)
+            C.assert_tree_shapes(converted, params["vision_encoder"]["backbone"], "vision")
+            params["vision_encoder"]["backbone"] = jax.tree.map(jnp.asarray, converted)
         if text_path:
             conv = C.convert_llama if self.module.text_config.arch == "llama" else C.convert_gpt2
-            converted = jax.tree.map(jnp.asarray, conv(_state_dict(text_path), self.module.text_config))
+            converted = conv(_state_dict(text_path), self.module.text_config)
+            existing = params["shared_lm"] if "shared_lm" in params else params["text_encoder"]["backbone"]
+            converted = C.pad_vocab_rows(converted, existing, "text")
+            C.assert_tree_shapes(converted, existing, "text")
+            converted = jax.tree.map(jnp.asarray, converted)
             if "shared_lm" in params:
                 params["shared_lm"] = converted
             else:
@@ -387,9 +424,10 @@ class PreferenceGuidedCaptioningModel:
         dec_path = decoder_path or text_path
         if dec_path and "shared_lm" not in params:
             conv = C.convert_llama if self.module.decoder_config.arch == "llama" else C.convert_gpt2
-            params["caption_decoder"]["lm"] = jax.tree.map(
-                jnp.asarray, conv(_state_dict(dec_path), self.module.decoder_config)
-            )
+            converted = conv(_state_dict(dec_path), self.module.decoder_config)
+            converted = C.pad_vocab_rows(converted, params["caption_decoder"]["lm"], "decoder")
+            C.assert_tree_shapes(converted, params["caption_decoder"]["lm"], "decoder")
+            params["caption_decoder"]["lm"] = jax.tree.map(jnp.asarray, converted)
         self.params = params
         logger.info("Loaded pretrained towers (vision=%s text=%s)", vision_path, text_path)
 
@@ -401,6 +439,12 @@ class PreferenceGuidedCaptioningModel:
 
         per = {name: count(sub) for name, sub in self.params.items()}
         per["total"] = count(self.params)
+        if self.lora is not None:
+            from pgica_tpu.models.lora import count_lora_params
+
+            per["lora"] = count_lora_params(self.lora)
+            per["trainable"] = per["lora"]  # base is frozen under LoRA
+            return per
         frozen = 0
         if self.freeze_vision_backbone:
             frozen += count(self.params["vision_encoder"].get("backbone", {}))

@@ -103,7 +103,9 @@ def _bwd_dkv_kernel(
             rows = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = kv_idx * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(rows >= cols, s, NEG_INF)
-        p = jnp.exp(s - lse[:, None])  # (block_q, block_kv)
+        # Rows whose keys were ALL masked saved lse = NEG_INF and output 0;
+        # exp(s - lse) would wrongly give p = 1 per key. Zero them instead.
+        p = jnp.where(lse[:, None] <= NEG_INF * 0.5, 0.0, jnp.exp(s - lse[:, None]))
         dv = dv + jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -148,7 +150,7 @@ def _bwd_dq_kernel(
             rows = q_idx * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = i * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(rows >= cols, s, NEG_INF)
-        p = jnp.exp(s - lse[:, None])
+        p = jnp.where(lse[:, None] <= NEG_INF * 0.5, 0.0, jnp.exp(s - lse[:, None]))
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )

@@ -5,16 +5,25 @@ states and the (weight-tied) embedding matrix:
 
     tok_logp[r] = h[r] . W[y[r]] - logsumexp_v(h[r] . W[v])
 
-blockwise over the vocabulary with an online logsumexp — the (rows, vocab)
-logits matrix is never materialized. This is the fused kernel the DPO
-sequence-logprob reduction (ops/losses.py:sequence_logprobs) and the caption
-CE (caption_cross_entropy) sit on top of: for GPT-2-scale vocabularies the
-float32 logits tensor (2B x 127 x 50k ~ 1.6 GB per DPO side at batch 32)
-dominates stage-2 HBM traffic; here it stays in VMEM tiles.
+The vocabulary is tiled through the Pallas *grid* — each program sees one
+(row_block, vocab_block) tile, with the online-logsumexp running statistics
+held in VMEM scratch across the (sequential, innermost) vocab grid dimension.
+Neither the (rows, vocab) logits matrix nor the full (vocab, d) embedding is
+ever resident: VMEM holds one row block of hidden states, one vocab block of
+embedding rows, and the (block_r, block_v) score tile. At GPT-2 scale
+(50,257 x 1024 f32 ~ 200 MB) staging the whole embedding per program would
+exceed TPU VMEM by an order of magnitude — this is why the grid, not the
+kernel body, owns the vocab loop.
 
-Backward (custom VJP), also blockwise:
-    dh[r]    = g[r] * (W[y[r]] - p[r] @ W)
-    dW[v]    = sum_r g[r] * (onehot[r,v] - p[r,v]) * h[r]
+This is the kernel the DPO sequence-logprob reduction
+(ops/losses.py:sequence_logprobs_from_hidden) and the fused NT-Xent
+(ntxent_loss_fused) sit on top of: for GPT-2-scale vocabularies the float32
+logits tensor (2B x 127 x 50k ~ 1.6 GB per DPO side at batch 32) dominates
+stage-2 HBM traffic; here it stays in VMEM tiles.
+
+Backward (custom VJP), blockwise with the same tiling:
+    dh[r]    = g[r] * (W[y[r]] - p[r] @ W)       grid (rows, vocab-inner)
+    dW[v]    = sum_r g[r] * (onehot[r,v] - p[r,v]) * h[r]   grid (vocab, rows-inner)
 with p = softmax recomputed from the saved per-row logsumexp.
 
 The XLA fallback (`_xla_token_logprobs`) is the numerics reference; dispatch
@@ -24,11 +33,14 @@ is automatic (pallas on TPU for aligned shapes, XLA otherwise).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
 
 
 def _xla_token_logprobs(hidden: jax.Array, embedding: jax.Array, targets: jax.Array) -> jax.Array:
@@ -37,97 +49,124 @@ def _xla_token_logprobs(hidden: jax.Array, embedding: jax.Array, targets: jax.Ar
     return jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 # ------------------------------------------------------------------ forward
 
 
-def _fwd_kernel(h_ref, w_ref, y_ref, out_ref, lse_ref, *, block_v, vocab):
-    h = h_ref[:].astype(jnp.float32)  # (block_r, d)
-    block_r = h.shape[0]
+def _fwd_kernel(h_ref, w_ref, y_ref, out_ref, lse_ref, m_scr, l_scr, t_scr, *, block_v, vocab, num_v):
+    """Grid = (row_blocks, vocab_blocks); vocab is the (sequential) inner dim.
+
+    Scratch carries the online-logsumexp statistics (m, l) and the target
+    score accumulator across vocab blocks; outputs are written on the last
+    vocab iteration only (their block index is constant over the inner dim,
+    so the block stays resident in VMEM).
+    """
+    v_idx = pl.program_id(1)
+
+    @pl.when(v_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        t_scr[...] = jnp.zeros_like(t_scr)
+
+    h = h_ref[...].astype(jnp.float32)  # (block_r, d)
+    w = w_ref[...].astype(jnp.float32)  # (block_v, d)
     y = y_ref[0, 0]  # (block_r,) int32
-    num_v = pl.cdiv(vocab, block_v)
+    s = jax.lax.dot_general(
+        h, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_r, block_v)
+    cols = v_idx * block_v + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(cols < vocab, s, NEG_INF)
 
-    def body(i, carry):
-        m_prev, l_prev, tgt = carry
-        w = w_ref[pl.ds(i * block_v, block_v), :].astype(jnp.float32)  # (block_v, d)
-        s = jax.lax.dot_general(
-            h, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_r, block_v)
-        cols = i * block_v + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = cols < vocab
-        s = jnp.where(valid, s, -1e30)
-        m_cur = jnp.max(s, axis=-1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        l_new = l_prev * jnp.exp(m_prev - m_new) + jnp.sum(jnp.exp(s - m_new[:, None]), axis=-1)
-        tgt = tgt + jnp.sum(jnp.where(cols == y[:, None], s, 0.0), axis=-1)
-        return m_new, l_new, tgt
+    m_prev, l_prev = m_scr[0], l_scr[0]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    l_new = l_prev * jnp.exp(m_prev - m_new) + jnp.sum(jnp.exp(s - m_new[:, None]), axis=-1)
+    m_scr[0] = m_new
+    l_scr[0] = l_new
+    t_scr[0] = t_scr[0] + jnp.sum(jnp.where(cols == y[:, None], s, 0.0), axis=-1)
 
-    m0 = jnp.full((block_r,), -1e30, jnp.float32)
-    l0 = jnp.zeros((block_r,), jnp.float32)
-    t0 = jnp.zeros((block_r,), jnp.float32)
-    m, l, tgt = jax.lax.fori_loop(0, num_v, body, (m0, l0, t0))
-    lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
-    out_ref[0, 0] = (tgt - lse).astype(jnp.float32)
-    lse_ref[0, 0] = lse
+    @pl.when(v_idx == num_v - 1)
+    def _finish():
+        l = l_scr[0]
+        lse = m_scr[0] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        out_ref[0, 0] = t_scr[0] - lse
+        lse_ref[0, 0] = lse
 
 
 # ------------------------------------------------------------------ backward
 
 
-def _bwd_dh_kernel(h_ref, w_ref, y_ref, lse_ref, g_ref, dh_ref, *, block_v, vocab):
-    h = h_ref[:].astype(jnp.float32)
+def _bwd_dh_kernel(h_ref, w_ref, y_ref, lse_ref, g_ref, dh_ref, acc_scr, *, block_v, vocab, num_v):
+    """dh = g * (onehot - p) @ W, accumulated across vocab blocks in scratch."""
+    v_idx = pl.program_id(1)
+
+    @pl.when(v_idx == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    h = h_ref[...].astype(jnp.float32)
+    w = w_ref[...].astype(jnp.float32)
+    y = y_ref[0, 0]
+    lse = lse_ref[0, 0]
+    s = jax.lax.dot_general(h, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    cols = v_idx * block_v + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    p = jnp.where(cols < vocab, jnp.exp(s - lse[:, None]), 0.0)
+    coeff = jnp.where(cols == y[:, None], 1.0, 0.0) - p  # (block_r, block_v)
+    acc_scr[...] += jax.lax.dot_general(
+        coeff, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(v_idx == num_v - 1)
+    def _finish():
+        g = g_ref[0, 0]
+        dh_ref[...] = (acc_scr[...] * g[:, None]).astype(dh_ref.dtype)
+
+
+def _bwd_dw_kernel(h_ref, w_ref, y_ref, lse_ref, g_ref, dw_ref, acc_scr, *, block_v, vocab, num_r):
+    """Grid = (vocab_blocks, row_blocks); rows inner. dW accumulated in scratch."""
+    v_idx = pl.program_id(0)
+    r_idx = pl.program_id(1)
+
+    @pl.when(r_idx == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    h = h_ref[...].astype(jnp.float32)  # (block_r, d)
+    w = w_ref[...].astype(jnp.float32)  # (block_v, d)
     y = y_ref[0, 0]
     lse = lse_ref[0, 0]
     g = g_ref[0, 0]
-    num_v = pl.cdiv(vocab, block_v)
-    d = h.shape[-1]
+    s = jax.lax.dot_general(h, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    cols = v_idx * block_v + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    p = jnp.where(cols < vocab, jnp.exp(s - lse[:, None]), 0.0)
+    coeff = (jnp.where(cols == y[:, None], 1.0, 0.0) - p) * g[:, None]  # (block_r, block_v)
+    acc_scr[...] += jax.lax.dot_general(
+        coeff, h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-    def body(i, dh):
-        w = w_ref[pl.ds(i * block_v, block_v), :].astype(jnp.float32)
-        s = jax.lax.dot_general(h, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        cols = i * block_v + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = cols < vocab
-        p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)
-        coeff = jnp.where(cols == y[:, None], 1.0, 0.0) - p  # (block_r, block_v)
-        return dh + jax.lax.dot_general(
-            coeff, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    dh = jax.lax.fori_loop(0, num_v, body, jnp.zeros_like(h))
-    dh_ref[:] = (dh * g[:, None]).astype(dh_ref.dtype)
-
-
-def _bwd_dw_kernel(h_ref, w_ref, y_ref, lse_ref, g_ref, dw_ref, *, block_r, rows, vocab_block_start=None):
-    """One program = one vocab block. Loops over row blocks accumulating dW."""
-    w = w_ref[0].astype(jnp.float32)  # (block_v, d)
-    block_v = w.shape[0]
-    v_idx = pl.program_id(0)
-    num_r = pl.cdiv(rows, block_r)
-
-    def body(i, dw):
-        h = h_ref[pl.ds(i * block_r, block_r), :].astype(jnp.float32)
-        y = y_ref[0, pl.ds(i * block_r, block_r)]
-        lse = lse_ref[0, pl.ds(i * block_r, block_r)]
-        g = g_ref[0, pl.ds(i * block_r, block_r)]
-        s = jax.lax.dot_general(h, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        cols = v_idx * block_v + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        p = jnp.exp(s - lse[:, None])
-        coeff = (jnp.where(cols == y[:, None], 1.0, 0.0) - p) * g[:, None]  # (block_r, block_v)
-        return dw + jax.lax.dot_general(
-            coeff, h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    dw = jax.lax.fori_loop(0, num_r, body, jnp.zeros_like(w))
-    dw_ref[0] = dw.astype(dw_ref.dtype)
+    @pl.when(r_idx == num_r - 1)
+    def _finish():
+        dw_ref[...] = acc_scr[...].astype(dw_ref.dtype)
 
 
 # ------------------------------------------------------------------ plumbing
 
 
-def _pick_block(n: int, target: int) -> int:
-    b = min(target, n)
-    while n % b != 0:
-        b -= 1
-    return max(b, 1)
+def _block_sizes(rows: int, vocab: int, block_r: int, block_v: int):
+    br = min(block_r, _round_up(rows, 8))
+    bv = min(block_v, _round_up(vocab, 128))
+    return br, bv, _round_up(rows, br), _round_up(vocab, bv)
+
+
+def _pad_rows(x: jax.Array, rows_p: int) -> jax.Array:
+    pad = rows_p - x.shape[0]
+    if pad == 0:
+        return x
+    widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+    return jnp.pad(x, widths)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -136,94 +175,94 @@ def _fused(hidden, embedding, targets, block_r, block_v, interpret):
     return out
 
 
-def _pad_vocab(embedding, block_v):
-    """Pad embedding rows to a block multiple; kernels mask cols >= true vocab."""
-    vocab = embedding.shape[0]
-    padded = ((vocab + block_v - 1) // block_v) * block_v
-    if padded != vocab:
-        embedding = jnp.pad(embedding, ((0, padded - vocab), (0, 0)))
-    return embedding, padded
+def _scratch(shape):
+    return pltpu.VMEM(shape, jnp.float32)
 
 
 def _fused_fwd_impl(hidden, embedding, targets, block_r, block_v, interpret):
     rows, d = hidden.shape
     vocab = embedding.shape[0]
-    br = _pick_block(rows, block_r)
-    bv = min(block_v, vocab)
-    emb_padded, vocab_padded = _pad_vocab(embedding, bv)
+    br, bv, rows_p, vocab_p = _block_sizes(rows, vocab, block_r, block_v)
+    num_v = vocab_p // bv
+
+    h = _pad_rows(hidden, rows_p)
+    y = _pad_rows(targets, rows_p)
+    w = jnp.pad(embedding, ((0, vocab_p - vocab), (0, 0))) if vocab_p != vocab else embedding
 
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, block_v=bv, vocab=vocab),
-        grid=(rows // br,),
+        functools.partial(_fwd_kernel, block_v=bv, vocab=vocab, num_v=num_v),
+        grid=(rows_p // br, num_v),
         in_specs=[
-            pl.BlockSpec((br, d), lambda i: (i, 0)),
-            pl.BlockSpec((vocab_padded, d), lambda i: (0, 0)),
-            pl.BlockSpec((1, 1, br), lambda i: (0, 0, i)),
+            pl.BlockSpec((br, d), lambda r, v: (r, 0)),
+            pl.BlockSpec((bv, d), lambda r, v: (v, 0)),
+            pl.BlockSpec((1, 1, br), lambda r, v: (0, 0, r)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, br), lambda i: (0, 0, i)),
-            pl.BlockSpec((1, 1, br), lambda i: (0, 0, i)),
+            pl.BlockSpec((1, 1, br), lambda r, v: (0, 0, r)),
+            pl.BlockSpec((1, 1, br), lambda r, v: (0, 0, r)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, 1, rows), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1, rows), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, rows_p), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, rows_p), jnp.float32),
         ],
+        scratch_shapes=[_scratch((1, br)), _scratch((1, br)), _scratch((1, br))],
         interpret=interpret,
-    )(hidden, emb_padded, targets.reshape(1, 1, rows))
-    return out.reshape(rows), lse.reshape(rows)
+    )(h, w, y.reshape(1, 1, rows_p))
+    return out.reshape(rows_p)[:rows], lse.reshape(rows_p)
 
 
 def _fused_fwd(hidden, embedding, targets, block_r, block_v, interpret):
-    out, lse = _fused_fwd_impl(hidden, embedding, targets, block_r, block_v, interpret)
-    return out, (hidden, embedding, targets, lse)
+    out, lse_padded = _fused_fwd_impl(hidden, embedding, targets, block_r, block_v, interpret)
+    return out, (hidden, embedding, targets, lse_padded)
 
 
 def _fused_bwd(block_r, block_v, interpret, residuals, g):
-    hidden, embedding, targets, lse = residuals
+    hidden, embedding, targets, lse_padded = residuals
     rows, d = hidden.shape
     vocab = embedding.shape[0]
-    br = _pick_block(rows, block_r)
-    bv = min(block_v, vocab)
-    emb_padded, vocab_padded = _pad_vocab(embedding, bv)
+    br, bv, rows_p, vocab_p = _block_sizes(rows, vocab, block_r, block_v)
+    num_v = vocab_p // bv
+    num_r = rows_p // br
 
-    y3 = targets.reshape(1, 1, rows)
-    lse3 = lse.reshape(1, 1, rows)
-    g3 = g.astype(jnp.float32).reshape(1, 1, rows)
+    h = _pad_rows(hidden, rows_p)
+    w = jnp.pad(embedding, ((0, vocab_p - vocab), (0, 0))) if vocab_p != vocab else embedding
+    y3 = _pad_rows(targets, rows_p).reshape(1, 1, rows_p)
+    lse3 = lse_padded.reshape(1, 1, rows_p)
+    g3 = _pad_rows(g.astype(jnp.float32), rows_p).reshape(1, 1, rows_p)
 
     dh = pl.pallas_call(
-        functools.partial(_bwd_dh_kernel, block_v=bv, vocab=vocab),
-        grid=(rows // br,),
+        functools.partial(_bwd_dh_kernel, block_v=bv, vocab=vocab, num_v=num_v),
+        grid=(num_r, num_v),
         in_specs=[
-            pl.BlockSpec((br, d), lambda i: (i, 0)),
-            pl.BlockSpec((vocab_padded, d), lambda i: (0, 0)),
-            pl.BlockSpec((1, 1, br), lambda i: (0, 0, i)),
-            pl.BlockSpec((1, 1, br), lambda i: (0, 0, i)),
-            pl.BlockSpec((1, 1, br), lambda i: (0, 0, i)),
+            pl.BlockSpec((br, d), lambda r, v: (r, 0)),
+            pl.BlockSpec((bv, d), lambda r, v: (v, 0)),
+            pl.BlockSpec((1, 1, br), lambda r, v: (0, 0, r)),
+            pl.BlockSpec((1, 1, br), lambda r, v: (0, 0, r)),
+            pl.BlockSpec((1, 1, br), lambda r, v: (0, 0, r)),
         ],
-        out_specs=pl.BlockSpec((br, d), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, d), hidden.dtype),
+        out_specs=pl.BlockSpec((br, d), lambda r, v: (r, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows_p, d), hidden.dtype),
+        scratch_shapes=[_scratch((br, d))],
         interpret=interpret,
-    )(hidden, emb_padded, y3, lse3, g3)
+    )(h, w, y3, lse3, g3)
 
-    y2 = targets.reshape(1, rows)
-    lse2 = lse.reshape(1, rows)
-    g2 = g.astype(jnp.float32).reshape(1, rows)
     dw = pl.pallas_call(
-        functools.partial(_bwd_dw_kernel, block_r=br, rows=rows),
-        grid=(vocab_padded // bv,),
+        functools.partial(_bwd_dw_kernel, block_v=bv, vocab=vocab, num_r=num_r),
+        grid=(num_v, num_r),
         in_specs=[
-            pl.BlockSpec((rows, d), lambda i: (0, 0)),
-            pl.BlockSpec((1, bv, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, rows), lambda i: (0, 0)),
-            pl.BlockSpec((1, rows), lambda i: (0, 0)),
-            pl.BlockSpec((1, rows), lambda i: (0, 0)),
+            pl.BlockSpec((br, d), lambda v, r: (r, 0)),
+            pl.BlockSpec((bv, d), lambda v, r: (v, 0)),
+            pl.BlockSpec((1, 1, br), lambda v, r: (0, 0, r)),
+            pl.BlockSpec((1, 1, br), lambda v, r: (0, 0, r)),
+            pl.BlockSpec((1, 1, br), lambda v, r: (0, 0, r)),
         ],
-        out_specs=pl.BlockSpec((1, bv, d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((vocab_padded // bv, bv, d), embedding.dtype),
+        out_specs=pl.BlockSpec((bv, d), lambda v, r: (v, 0)),
+        out_shape=jax.ShapeDtypeStruct((vocab_p, d), embedding.dtype),
+        scratch_shapes=[_scratch((bv, d))],
         interpret=interpret,
-    )(hidden, emb_padded.reshape(vocab_padded // bv, bv, d), y2, lse2, g2)
+    )(h, w, y3, lse3, g3)
 
-    return dh, dw.reshape(vocab_padded, d)[:vocab], None
+    return dh[:rows], dw[:vocab], None
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -239,14 +278,17 @@ def fused_token_logprobs(
 ) -> jax.Array:
     """Target-token logprobs for flattened rows: (N, D), (V, D), (N,) -> (N,).
 
-    ``impl="auto"`` uses the Pallas kernel on TPU when shapes tile cleanly,
-    else the XLA path. Differentiable w.r.t. hidden and embedding.
+    ``impl="auto"`` uses the Pallas kernel on TPU when the feature dim tiles
+    onto the MXU lanes (d % 128 == 0) and the vocab is large enough to matter,
+    else the XLA path. Rows and vocab need no alignment — both are padded to
+    block multiples internally (padded columns are masked, padded rows carry
+    zero cotangent). Differentiable w.r.t. hidden and embedding.
     """
     rows, d = hidden.shape
     vocab = embedding.shape[0]
     if impl == "auto":
         tpu = jax.default_backend() not in ("cpu",)
-        ok = tpu and rows % 8 == 0 and d % 128 == 0 and vocab >= 512
+        ok = tpu and d % 128 == 0 and vocab >= 512
         impl = "pallas" if ok else "xla"
     if impl == "pallas":
         interpret = jax.default_backend() == "cpu"

@@ -26,6 +26,29 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def effective_params(payload: Dict[str, Any]):
+    """Inference-ready params from a restored payload.
+
+    Checkpoints written during LoRA training store the frozen base under
+    ``params`` plus the adapter factors under ``lora`` (with the peft-style
+    config in meta); this merges them so every consumer (predict/evaluate/
+    run_evaluation CLIs, load_best_model_at_end) sees a plain param tree.
+    """
+    params = payload["params"]
+    lora_tree = payload.get("lora")
+    if not lora_tree:
+        return params
+    from pgica_tpu.models.lora import apply_lora, lora_from_tree
+
+    cfg = (payload.get("meta") or {}).get("lora_config") or {}
+    return apply_lora(
+        params,
+        lora_from_tree(lora_tree),
+        alpha=float(cfg.get("alpha", 32.0)),
+        rank=int(cfg.get("rank", 16)),
+    )
+
+
 class CheckpointManager:
     """Save/restore training state with per-epoch + per-stage-best files."""
 
@@ -49,11 +72,15 @@ class CheckpointManager:
         val_loss: Optional[float] = None,
         config: Optional[Dict] = None,
         overwrite: bool = True,
+        lora: Any = None,
+        lora_config: Optional[Dict] = None,
     ) -> Path:
         path = self._path(name)
         payload = {"params": _to_host(params)}
         if opt_state is not None:
             payload["opt_state"] = _to_host(opt_state)
+        if lora is not None:
+            payload["lora"] = _to_host(lora)
         self._ckpt.save(path, payload, force=overwrite)
         meta = {
             "epoch": epoch,
@@ -62,6 +89,11 @@ class CheckpointManager:
             "val_loss": None if val_loss is None else float(val_loss),
             "config": config,
         }
+        if lora_config is not None:
+            meta["lora_config"] = jax.tree.map(
+                lambda x: list(x) if isinstance(x, tuple) else x, lora_config,
+                is_leaf=lambda x: isinstance(x, tuple),
+            )
         with open(path / "meta.json", "w") as f:
             json.dump(meta, f, indent=2)
         logger.info("Saved checkpoint %s (stage %d epoch %d step %d)", path, stage, epoch, global_step)

@@ -27,12 +27,29 @@ import jax.numpy as jnp
 import optax
 
 from pgica_tpu.data.augment import augment_batch, prepare_images
+from pgica_tpu.models.lora import apply_lora
 from pgica_tpu.ops.losses import (
     dpo_loss,
     ntxent_loss,
     sequence_logprobs,
     sequence_logprobs_from_hidden,
 )
+
+
+def _effective_params(params, base_params, lora: Optional[Tuple[float, int]]):
+    """Resolve the params the module actually runs with.
+
+    Full-finetune mode (``lora=None``): ``params`` IS the model tree. LoRA
+    mode: ``params`` is the {path: (A, B)} factor dict and the frozen base
+    tree arrives via ``base_params``; the rank-r deltas are merged here,
+    inside the jitted step, so XLA fuses the outer products into the
+    surrounding graph and the optimizer/donation machinery only ever sees the
+    tiny adapter pytree.
+    """
+    if lora is None:
+        return params
+    alpha, rank = lora
+    return apply_lora(base_params, params, alpha=alpha, rank=rank)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -89,7 +106,10 @@ def stage1_loss_fn(
     temperature: float,
     augment: bool,
     axis_name: Optional[str] = None,
+    base_params=None,
+    lora: Optional[Tuple[float, int]] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    params = _effective_params(params, base_params, lora)
     aug_rng, dropout_rng = jax.random.split(rng)
     images = prepare_images(batch["image"])
     if augment:
@@ -116,19 +136,24 @@ def make_stage1_train_step(
     temperature: float,
     augment: bool = True,
     axis_name: Optional[str] = None,
+    lora: Optional[Tuple[float, int]] = None,
 ) -> Callable:
-    """Returns jit-ready fn(state, batch, rng) -> (state, metrics).
+    """Returns jit-ready fn(state, batch, rng, base_params=None) -> (state, metrics).
 
     ``axis_name`` is only for explicit-collective execution (shard_map/pmap):
     it all-gathers NT-Xent negatives over that mesh axis. Under plain jit with
     sharded batches, leave it None — XLA's SPMD partitioner already computes
     the global similarity matrix.
+
+    With ``lora=(alpha, rank)`` the state holds adapter factors only and the
+    frozen base tree must be passed as ``base_params``.
     """
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, batch, rng, base_params=None):
         rng = jax.random.fold_in(rng, state.step)
         (loss, metrics), grads = jax.value_and_grad(stage1_loss_fn, has_aux=True)(
-            state.params, batch, rng, module, temperature, augment, axis_name
+            state.params, batch, rng, module, temperature, augment, axis_name,
+            base_params, lora,
         )
         new_state, grad_norm = _apply_update(state, grads, optimizer, loss)
         metrics["grad_norm"] = grad_norm
@@ -138,8 +163,11 @@ def make_stage1_train_step(
     return step
 
 
-def make_stage1_eval_step(module, temperature: float) -> Callable:
-    def step(params, batch):
+def make_stage1_eval_step(
+    module, temperature: float, lora: Optional[Tuple[float, int]] = None
+) -> Callable:
+    def step(params, batch, base_params=None):
+        params = _effective_params(params, base_params, lora)
         out = module.apply(
             {"params": params},
             prepare_images(batch["image"]),
@@ -212,7 +240,10 @@ def stage2_loss_fn(
     length_normalized: bool,
     label_smoothing: float,
     augment: bool,
+    base_params=None,
+    lora: Optional[Tuple[float, int]] = None,
 ):
+    params = _effective_params(params, base_params, lora)
     aug_rng, dropout_rng = jax.random.split(rng)
     images = prepare_images(batch["image"])
     if augment:
@@ -246,14 +277,20 @@ def make_stage2_train_step(
     length_normalized: bool = False,
     label_smoothing: float = 0.0,
     augment: bool = True,
+    lora: Optional[Tuple[float, int]] = None,
 ) -> Callable:
-    """Returns fn(state, ref_params, batch, rng) -> (state, metrics)."""
+    """Returns fn(state, ref_params, batch, rng, base_params=None) -> (state, metrics).
 
-    def step(state: TrainState, ref_params, batch, rng):
+    In LoRA mode the frozen DPO reference is simply the base tree (adapters
+    start as a no-op, so base == the policy at stage-2 start).
+    """
+
+    def step(state: TrainState, ref_params, batch, rng, base_params=None):
         rng = jax.random.fold_in(rng, state.step)
         (loss, metrics), grads = jax.value_and_grad(stage2_loss_fn, has_aux=True)(
             state.params, ref_params, batch, rng, module,
             beta, reference_free, length_normalized, label_smoothing, augment,
+            base_params, lora,
         )
         new_state, grad_norm = _apply_update(state, grads, optimizer, loss)
         metrics["grad_norm"] = grad_norm
@@ -264,9 +301,11 @@ def make_stage2_train_step(
 
 
 def make_stage2_eval_step(
-    module, beta: float, reference_free: bool = False, length_normalized: bool = False
+    module, beta: float, reference_free: bool = False, length_normalized: bool = False,
+    lora: Optional[Tuple[float, int]] = None,
 ) -> Callable:
-    def step(params, ref_params, batch):
+    def step(params, ref_params, batch, base_params=None):
+        params = _effective_params(params, base_params, lora)
         images = prepare_images(batch["image"])
         pc, pr = _policy_pair_logprobs(
             module, params, images, batch, None, length_normalized

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pgica_tpu.core import prng
 from pgica_tpu.training.checkpoint import CheckpointManager
 from pgica_tpu.training.optim import create_optimizer
 from pgica_tpu.training.train_step import (
@@ -90,6 +91,7 @@ class PreferenceGuidedTrainer:
         self._profile_started = False
         self.global_step = 0
         self.current_epoch = 0
+        self._lora_base = None  # frozen base params during LoRA training
         self.best_val_loss: Dict[int, float] = {1: float("inf"), 2: float("inf")}
         self.early_stopping_patience = config.get("training.early_stopping_patience", 3)
         self.logging_steps = config.get("training.logging_steps", 100)
@@ -160,10 +162,25 @@ class PreferenceGuidedTrainer:
             return self.mesh.shard_batch(arrays)
         return jax.tree.map(jnp.asarray, arrays)
 
+    @property
+    def _lora_static(self):
+        """(alpha, rank) when the model carries LoRA adapters, else None."""
+        cfg = getattr(self.model, "lora_config", None)
+        if cfg and getattr(self.model, "lora", None) is not None:
+            return (float(cfg["alpha"]), int(cfg["rank"]))
+        return None
+
     def _make_optimizer(self, stage: int, steps_per_epoch: int):
         cfg = self._stage_cfg(stage)
         accum = int(cfg.get("gradient_accumulation_steps", 1))
+        # The warmup-cosine horizon must reflect the steps that will actually
+        # run: under the --max-steps debug cap the epoch is truncated, and
+        # sizing the schedule from the full loader length would leave the
+        # whole run inside warmup (LR never reaching peak).
+        if self.max_steps_per_epoch is not None:
+            steps_per_epoch = min(steps_per_epoch, self.max_steps_per_epoch)
         total_updates = max(1, steps_per_epoch * int(cfg.get("num_epochs", 1)) // max(accum, 1))
+        lora = self._lora_static is not None
         return create_optimizer(
             learning_rate=float(cfg.get("learning_rate", 5e-5)),
             total_steps=total_updates,
@@ -171,9 +188,12 @@ class PreferenceGuidedTrainer:
             weight_decay=float(cfg.get("weight_decay", 0.01)),
             max_grad_norm=float(cfg.get("max_grad_norm", 1.0)),
             gradient_accumulation_steps=accum,
-            params_for_freezing=self.model.params,
-            freeze_vision_backbone=self.model.freeze_vision_backbone,
-            freeze_text_backbone=self.model.freeze_text_backbone,
+            # LoRA: the optimizer only ever sees the adapter pytree, so no
+            # freezing partitions are needed — the base is frozen by never
+            # being differentiated (models/lora.py design).
+            params_for_freezing=None if lora else self.model.params,
+            freeze_vision_backbone=False if lora else self.model.freeze_vision_backbone,
+            freeze_text_backbone=False if lora else self.model.freeze_text_backbone,
         )
 
     def _shard_state_params(self, params):
@@ -189,6 +209,25 @@ class PreferenceGuidedTrainer:
             return 0
         return counter + 1
 
+    def _sync_model(self, state):
+        """Push the train state back onto the model wrapper."""
+        if self._lora_base is not None:
+            self.model.lora = state.params
+        else:
+            self.model.params = state.params
+
+    def _ckpt_payload(self, state) -> Dict[str, Any]:
+        """Checkpoint content: full params, or frozen base + adapter factors."""
+        if self._lora_base is not None:
+            from pgica_tpu.models.lora import lora_to_tree
+
+            return {
+                "params": self._lora_base,
+                "lora": lora_to_tree(state.params),
+                "lora_config": dict(self.model.lora_config),
+            }
+        return {"params": state.params}
+
     # ------------------------------------------------------------- stage 1
 
     def train_stage1(self) -> Dict[str, Any]:
@@ -197,16 +236,26 @@ class PreferenceGuidedTrainer:
         cfg = self._stage_cfg(1)
         num_epochs = int(cfg.get("num_epochs", 1))
         optimizer = self._make_optimizer(1, len(self.train_loader))
-        params = self._shard_state_params(self.model.params)
-        state = self._maybe_resume_opt_state(TrainState.create(params, optimizer))
+        lora = self._lora_static
+        if lora is not None:
+            self._lora_base = self.model.params  # frozen; passed per-step
+            trainable = self.model.lora
+        else:
+            self._lora_base = None
+            trainable = self._shard_state_params(self.model.params)
+        state = self._maybe_resume_opt_state(TrainState.create(trainable, optimizer))
         temperature = float(self.config.get("model.temperature", 0.5))
 
         train_step = jax.jit(
-            make_stage1_train_step(self.model.module, optimizer, temperature, augment=True),
+            make_stage1_train_step(
+                self.model.module, optimizer, temperature, augment=True, lora=lora
+            ),
             donate_argnums=(0,),
         )
-        eval_step = jax.jit(make_stage1_eval_step(self.model.module, temperature))
-        rng = jax.random.PRNGKey(self.seed)
+        eval_step = jax.jit(make_stage1_eval_step(self.model.module, temperature, lora=lora))
+        # Purpose-keyed stream (core/prng.py): the step folds in state.step,
+        # so a resumed run replays the exact same per-step keys.
+        rng = prng.purpose_key(prng.root_key(self.seed), "train_stage1")
 
         logger.info("Stage 1: %d epochs x %d steps", num_epochs, len(self.train_loader))
         patience_counter = 0
@@ -221,25 +270,25 @@ class PreferenceGuidedTrainer:
             record = {"epoch": epoch, "train_loss": epoch_metrics.get("loss"), "val_loss": val_loss}
             self.history["stage1"].append(record)
 
-            self.model.params = state.params
+            self._sync_model(state)
             self.checkpoints.save_epoch(
-                1, epoch, params=state.params, opt_state=state.opt_state,
+                1, epoch, opt_state=state.opt_state,
                 global_step=self.global_step, val_loss=val_loss,
-                config=self.config.to_dict(),
+                config=self.config.to_dict(), **self._ckpt_payload(state),
             )
             if val_loss is not None:
                 patience_counter = self._check_early_stopping(1, val_loss, patience_counter)
                 if val_loss < self.best_val_loss[1]:
                     self.best_val_loss[1] = val_loss
                     self.checkpoints.save_best(
-                        1, params=state.params, epoch=epoch,
+                        1, epoch=epoch,
                         global_step=self.global_step, val_loss=val_loss,
-                        config=self.config.to_dict(),
+                        config=self.config.to_dict(), **self._ckpt_payload(state),
                     )
                 if patience_counter >= self.early_stopping_patience:
                     logger.info("Stage 1 early stopping at epoch %d", epoch)
                     break
-        self.model.params = state.params
+        self._sync_model(state)
         return {"best_val_loss": self.best_val_loss[1], "history": self.history["stage1"]}
 
     # ------------------------------------------------------------- stage 2
@@ -254,15 +303,28 @@ class PreferenceGuidedTrainer:
             raise ValueError("Stage 2 requires a preference_train_loader")
 
         optimizer = self._make_optimizer(2, len(self.preference_train_loader))
-        params = self._shard_state_params(self.model.params)
-        state = self._maybe_resume_opt_state(TrainState.create(params, optimizer))
+        lora = self._lora_static
         reference_free = bool(cfg.get("reference_free", False))
-        # Frozen reference policy = the policy at stage-2 start (standard DPO).
-        # Deep copy: the train state is donated, so the reference must own
-        # separate buffers.
-        ref_params = None if reference_free else jax.tree.map(
-            lambda x: jnp.array(x, copy=True), params
-        )
+        if lora is not None:
+            self._lora_base = self.model.params
+            trainable = self.model.lora  # carries over any stage-1 adaptation
+            # Frozen reference = the merged policy at stage-2 start.
+            ref_params = None
+            if not reference_free:
+                from pgica_tpu.models.lora import apply_lora
+
+                alpha, rank = lora
+                ref_params = apply_lora(self._lora_base, trainable, alpha=alpha, rank=rank)
+        else:
+            self._lora_base = None
+            trainable = self._shard_state_params(self.model.params)
+            # Frozen reference policy = the policy at stage-2 start (standard
+            # DPO). Deep copy: the train state is donated, so the reference
+            # must own separate buffers.
+            ref_params = None if reference_free else jax.tree.map(
+                lambda x: jnp.array(x, copy=True), trainable
+            )
+        state = self._maybe_resume_opt_state(TrainState.create(trainable, optimizer))
 
         train_step = jax.jit(
             make_stage2_train_step(
@@ -273,6 +335,7 @@ class PreferenceGuidedTrainer:
                 length_normalized=bool(cfg.get("length_normalized", False)),
                 label_smoothing=float(cfg.get("label_smoothing", 0.0)),
                 augment=True,
+                lora=lora,
             ),
             donate_argnums=(0,),
         )
@@ -282,9 +345,10 @@ class PreferenceGuidedTrainer:
                 beta=float(cfg.get("dpo_beta", 0.1)),
                 reference_free=reference_free,
                 length_normalized=bool(cfg.get("length_normalized", False)),
+                lora=lora,
             )
         )
-        rng = jax.random.PRNGKey(self.seed + 1)
+        rng = prng.purpose_key(prng.root_key(self.seed), "train_stage2")
 
         logger.info("Stage 2: %d epochs x %d steps", num_epochs, len(self.preference_train_loader))
         patience_counter = 0
@@ -301,25 +365,25 @@ class PreferenceGuidedTrainer:
             record = {"epoch": epoch, "train_loss": epoch_metrics.get("loss"), "val_loss": val_loss}
             self.history["stage2"].append(record)
 
-            self.model.params = state.params
+            self._sync_model(state)
             self.checkpoints.save_epoch(
-                2, epoch, params=state.params, opt_state=state.opt_state,
+                2, epoch, opt_state=state.opt_state,
                 global_step=self.global_step, val_loss=val_loss,
-                config=self.config.to_dict(),
+                config=self.config.to_dict(), **self._ckpt_payload(state),
             )
             if val_loss is not None:
                 patience_counter = self._check_early_stopping(2, val_loss, patience_counter)
                 if val_loss < self.best_val_loss[2]:
                     self.best_val_loss[2] = val_loss
                     self.checkpoints.save_best(
-                        2, params=state.params, epoch=epoch,
+                        2, epoch=epoch,
                         global_step=self.global_step, val_loss=val_loss,
-                        config=self.config.to_dict(),
+                        config=self.config.to_dict(), **self._ckpt_payload(state),
                     )
                 if patience_counter >= self.early_stopping_patience:
                     logger.info("Stage 2 early stopping at epoch %d", epoch)
                     break
-        self.model.params = state.params
+        self._sync_model(state)
         return {"best_val_loss": self.best_val_loss[2], "history": self.history["stage2"]}
 
     # ------------------------------------------------------------- loops
@@ -355,9 +419,9 @@ class PreferenceGuidedTrainer:
             device_batch = self._device_batch(batch)
             n_items += device_batch["image"].shape[0]
             if stage == 1:
-                state, metrics = train_step(state, device_batch, rng)
+                state, metrics = train_step(state, device_batch, rng, self._lora_base)
             else:
-                state, metrics = train_step(state, ref_params, device_batch, rng)
+                state, metrics = train_step(state, ref_params, device_batch, rng, self._lora_base)
             self.global_step += 1
             if self.global_step % self.logging_steps == 0:
                 host = {k: float(v) for k, v in metrics.items()}
@@ -389,9 +453,9 @@ class PreferenceGuidedTrainer:
         for batch in loader:
             device_batch = self._device_batch(batch)
             if stage == 1:
-                metrics = eval_step(params, device_batch)
+                metrics = eval_step(params, device_batch, self._lora_base)
             else:
-                metrics = eval_step(params, ref_params, device_batch)
+                metrics = eval_step(params, ref_params, device_batch, self._lora_base)
             losses.append(metrics["loss"])
         val_loss = float(jnp.mean(jnp.stack(losses)))
         self._log_metrics({"loss": val_loss}, self.global_step, prefix=f"stage{stage}/val")
@@ -409,8 +473,46 @@ class PreferenceGuidedTrainer:
             results["stage2"] = self.train_stage2()
         finally:
             self._finish_tracking()
+        if bool(self.config.get("training.load_best_model_at_end", False)):
+            self._load_best_at_end()
+        elif self._lora_base is not None and self.model.lora is not None:
+            self._fold_lora()
         self._write_results(results, wall_clock_s=time.perf_counter() - t0)
         return results
+
+    def _fold_lora(self):
+        """After training, merge final adapters into the wrapper's params so
+        generate_captions / CLIs see the adapted model. ``model.lora`` is
+        cleared to prevent double-merging downstream."""
+        from pgica_tpu.models.lora import apply_lora
+
+        alpha, rank = self._lora_static
+        self.model.params = apply_lora(self._lora_base, self.model.lora, alpha=alpha, rank=rank)
+        self.model.lora = None
+        logger.info("Folded LoRA adapters into model params for inference")
+
+    def _load_best_at_end(self):
+        """Leave the best-val-loss checkpoint installed on the model
+        (``training.load_best_model_at_end``, HF Trainer semantics). The most
+        recent stage with a recorded best wins (stage 2 over stage 1)."""
+        for stage in (2, 1):
+            if self.best_val_loss[stage] == float("inf"):
+                continue
+            path = self.checkpoints._path(f"best_model_stage{stage}")
+            if not path.exists():
+                continue
+            from pgica_tpu.training.checkpoint import effective_params
+
+            payload = self.checkpoints.restore(path)
+            self.model.params = jax.tree.map(jnp.asarray, effective_params(payload))
+            if payload.get("lora") is not None:
+                self.model.lora = None  # merged — prevent double-application
+            logger.info(
+                "load_best_model_at_end: restored best stage-%d params (val_loss %.4f)",
+                stage, self.best_val_loss[stage],
+            )
+            return
+        logger.info("load_best_model_at_end: no best checkpoint recorded; keeping final params")
 
     def _write_results(self, results: Dict[str, Any], wall_clock_s: float):
         """Emit results.json / results_summary.json artifacts (reference C25)."""
@@ -460,7 +562,16 @@ class PreferenceGuidedTrainer:
 
     def load_checkpoint(self, path) -> Dict[str, Any]:
         payload = self.checkpoints.restore(path)
-        self.model.params = jax.tree.map(jnp.asarray, payload["params"])
+        if payload.get("lora") is not None and getattr(self.model, "lora_config", None):
+            # Resume LoRA training: base and adapter factors restored separately.
+            from pgica_tpu.models.lora import lora_from_tree
+
+            self.model.params = jax.tree.map(jnp.asarray, payload["params"])
+            self.model.lora = jax.tree.map(jnp.asarray, lora_from_tree(payload["lora"]))
+        else:
+            from pgica_tpu.training.checkpoint import effective_params
+
+            self.model.params = jax.tree.map(jnp.asarray, effective_params(payload))
         # Optimizer state (Adam moments + schedule counter) resumes the next
         # stage start when its tree structure matches the fresh optimizer.
         self._restored_opt_state = payload.get("opt_state")

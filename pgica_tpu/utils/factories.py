@@ -65,14 +65,9 @@ def enable_compilation_cache():
 
 
 def resolve_dtype(config):
-    import jax.numpy as jnp
+    from pgica_tpu.core.precision import compute_dtype
 
-    mp = str(config.get("hardware.mixed_precision", "no")).lower()
-    if mp in ("bf16", "bfloat16"):
-        return jnp.bfloat16
-    if mp in ("fp16", "float16"):
-        return jnp.bfloat16  # fp16 is not a TPU-native format; bf16 is the equivalent
-    return jnp.float32
+    return compute_dtype(config.get("hardware.mixed_precision", "no"))
 
 
 def create_tokenizer(config):
@@ -134,9 +129,12 @@ def resolve_attn_impl(config) -> str:
 
 def create_model(config, tokenizer=None, seed: Optional[int] = None):
     from pgica_tpu.models import PreferenceGuidedCaptioningModel
+    from pgica_tpu.models.lora import normalize_lora_config
 
     tokenizer = tokenizer or create_tokenizer(config)
     return PreferenceGuidedCaptioningModel(
+        lora_config=normalize_lora_config(config.get("model.lora_config")),
+        vocab_size=config.get("model.vocab_size"),
         vision_model=config.get("model.vision_model", "openai/clip-vit-base-patch32"),
         text_model=config.get("model.text_model", "gpt2-medium"),
         projection_dim=config.get("model.projection_dim", 512),
@@ -164,6 +162,41 @@ def create_processors(config, tokenizer=None):
         tokenizer=tokenizer, max_length=config.get("data.max_caption_length", 128)
     )
     return image_processor, text_processor
+
+
+def create_metrics(config, model=None):
+    """CaptioningMetrics wired from config:
+
+    * ``evaluation.clip_judge_checkpoint`` — checkpoint dir of an INDEPENDENT
+      contrastive model used as the CLIP-Score judge (reference loads a second
+      frozen CLIP, metrics.py:380-439). Self-scoring (flagged
+      ``clip_score_self_judged``) is the fallback.
+    * ``evaluation.bert_score_model_path`` — local HF encoder checkpoint for
+      real BERTScore embeddings; proxies (flagged) otherwise.
+    """
+    from pgica_tpu.evaluation.metrics import CaptioningMetrics
+
+    clip_judge = None
+    judge_ckpt = config.get("evaluation.clip_judge_checkpoint")
+    if judge_ckpt and Path(str(judge_ckpt)).exists():
+        import jax
+        import jax.numpy as jnp
+
+        from pgica_tpu.training.checkpoint import CheckpointManager, effective_params
+
+        try:
+            clip_judge = create_model(config)
+            payload = CheckpointManager(Path(judge_ckpt).parent).restore(judge_ckpt)
+            clip_judge.params = jax.tree.map(jnp.asarray, effective_params(payload))
+            logger.info("CLIP-Score judge restored from %s", judge_ckpt)
+        except Exception as e:
+            logger.warning("clip_judge_checkpoint unusable (%s); self-scoring", e)
+            clip_judge = None
+    bert_path = config.get("evaluation.bert_score_model_path")
+    if bert_path and not Path(str(bert_path)).exists():
+        logger.warning("bert_score_model_path %s not found; proxy BERTScore", bert_path)
+        bert_path = None
+    return CaptioningMetrics(model=model, clip_judge=clip_judge, bert_model_path=bert_path)
 
 
 def create_mesh(config):

@@ -17,9 +17,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 class ModelEvaluator:
     def __init__(self, config, model_path=None, output_dir="./eval_outputs"):
-        from pgica_tpu.evaluation.metrics import CaptioningMetrics
         from pgica_tpu.evaluation.runner import EvaluationRunner
-        from pgica_tpu.utils.factories import create_model, create_processors, create_tokenizer
+        from pgica_tpu.utils.factories import (
+            create_metrics,
+            create_model,
+            create_processors,
+            create_tokenizer,
+        )
 
         self.config = config
         tokenizer = create_tokenizer(config)
@@ -29,12 +33,12 @@ class ModelEvaluator:
             import jax
             import jax.numpy as jnp
 
-            from pgica_tpu.training.checkpoint import CheckpointManager
+            from pgica_tpu.training.checkpoint import CheckpointManager, effective_params
 
             payload = CheckpointManager(Path(model_path).parent).restore(model_path)
-            self.model.params = jax.tree.map(jnp.asarray, payload["params"])
+            self.model.params = jax.tree.map(jnp.asarray, effective_params(payload))
         self.runner = EvaluationRunner(
-            self.model, config, CaptioningMetrics(model=self.model), output_dir
+            self.model, config, create_metrics(config, self.model), output_dir
         )
 
     def evaluate_split(self, split: str = "test", max_samples=None) -> dict:

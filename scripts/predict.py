@@ -30,7 +30,7 @@ class CaptionPredictor:
         self.image_processor, self.text_processor = create_processors(config, tokenizer)
         self.model = create_model(config, tokenizer)
         if model_path:
-            from pgica_tpu.training.checkpoint import CheckpointManager
+            from pgica_tpu.training.checkpoint import CheckpointManager, effective_params
 
             import jax.numpy as jnp
             import jax
@@ -38,7 +38,7 @@ class CaptionPredictor:
             path = Path(model_path)
             manager = CheckpointManager(path.parent if path.exists() else ".")
             payload = manager.restore(path)
-            self.model.params = jax.tree.map(jnp.asarray, payload["params"])
+            self.model.params = jax.tree.map(jnp.asarray, effective_params(payload))
 
     def _generate(self, images):
         gen = self.config.get("evaluation.generate_config", {})

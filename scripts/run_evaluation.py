@@ -60,9 +60,12 @@ def generate_evaluation_report(results: dict, targets: dict) -> dict:
 
 
 def run_comprehensive_evaluation(config, model, dataset: str, output_dir: Path, max_samples=None) -> dict:
-    from pgica_tpu.evaluation.metrics import CaptioningMetrics
     from pgica_tpu.evaluation.runner import EvaluationRunner
-    from pgica_tpu.utils.factories import create_loaders_with_fallback, create_processors
+    from pgica_tpu.utils.factories import (
+        create_loaders_with_fallback,
+        create_metrics,
+        create_processors,
+    )
 
     image_processor, text_processor = create_processors(config, model.tokenizer)
     datasets = ["conceptual", "ultrafeedback"] if dataset == "both" else [dataset]
@@ -72,7 +75,7 @@ def run_comprehensive_evaluation(config, model, dataset: str, output_dir: Path, 
             config, image_processor, text_processor, kind=name
         )
         runner = EvaluationRunner(
-            model, config, CaptioningMetrics(model=model), output_dir / name
+            model, config, create_metrics(config, model), output_dir / name
         )
         max_batches = None
         if max_samples:
@@ -137,10 +140,10 @@ def main():
         import jax
         import jax.numpy as jnp
 
-        from pgica_tpu.training.checkpoint import CheckpointManager
+        from pgica_tpu.training.checkpoint import CheckpointManager, effective_params
 
         payload = CheckpointManager(Path(args.checkpoint).parent).restore(args.checkpoint)
-        model.params = jax.tree.map(jnp.asarray, payload["params"])
+        model.params = jax.tree.map(jnp.asarray, effective_params(payload))
 
     output_dir = Path(args.output_dir)
     report = run_comprehensive_evaluation(config, model, args.dataset, output_dir, args.max_samples)

@@ -145,6 +145,18 @@ def rng():
     return np.random.default_rng(42)
 
 
+@pytest.fixture(scope="session")
+def tiny_model():
+    """Shared tiny flagship-shaped model (session-scoped: init is jit-heavy)."""
+    from pgica_tpu.data.tokenizer import CaptionTokenizer
+    from pgica_tpu.models import PreferenceGuidedCaptioningModel
+
+    return PreferenceGuidedCaptioningModel(
+        vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=16,
+        tokenizer=CaptionTokenizer(), max_caption_length=8, image_size=32, seed=0,
+    )
+
+
 def _write_image(path: Path, rng: np.random.Generator, size=(32, 32)):
     from PIL import Image
 

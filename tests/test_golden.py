@@ -39,14 +39,16 @@ class TestGoldenValues:
         images, ids, mask = _fixed_batch(model.tokenizer)
         out = model(images, ids, mask, mode="contrastive")
         loss, _ = ntxent_loss(out["image_embeddings"], out["text_embeddings"], 0.5)
-        # recorded 2026-08-16 (round 1); tolerance covers cross-platform fp drift
-        assert float(loss) == pytest.approx(1.3102, abs=0.02)
+        # re-recorded 2026-08-16 (round 2): param init moved to purpose-keyed
+        # PRNG streams (core/prng.py), an intentional behavior change
+        assert float(loss) == pytest.approx(1.4111, abs=0.02)
 
     def test_caption_ce_loss(self):
         model = _fixed_model()
         images, ids, mask = _fixed_batch(model.tokenizer)
         out = model(images, ids, mask, labels=ids, mode="generation")
-        assert float(out["loss"]) == pytest.approx(5.5788, abs=0.05)
+        # re-recorded 2026-08-16 (round 2): purpose-keyed init (see above)
+        assert float(out["loss"]) == pytest.approx(5.5457, abs=0.05)
 
     def test_deterministic_across_runs(self):
         m1, m2 = _fixed_model(), _fixed_model()

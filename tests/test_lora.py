@@ -60,3 +60,93 @@ def test_lora_gradient_flows_and_changes_output(model):
     assert not np.allclose(
         np.asarray(out0["text_embeddings"]), np.asarray(out1["text_embeddings"])
     )
+
+# ---------------------------------------------------------------- end-to-end
+
+
+def _lora_config_dict():
+    from pgica_tpu.models.lora import normalize_lora_config
+
+    return normalize_lora_config(
+        {"r": 4, "lora_alpha": 8, "target_modules": ["c_attn", "c_proj"], "lora_dropout": 0.0}
+    )
+
+
+def test_normalize_lora_config_translates_peft_names():
+    cfg = _lora_config_dict()
+    assert cfg["rank"] == 4 and cfg["alpha"] == 8.0
+    assert set(cfg["targets"]) == {"q_proj", "k_proj", "v_proj", "out_proj", "fc_out"}
+    from pgica_tpu.models.lora import normalize_lora_config
+
+    assert normalize_lora_config(None) is None
+    assert normalize_lora_config({}) is None
+
+
+def test_scope_excludes_vision_tower(model):
+    lora = init_lora(model.params, jax.random.PRNGKey(0), rank=4)
+    assert lora and not any(p.startswith("vision_encoder") for p in lora)
+
+
+def test_lora_roundtrip_tree_encoding(model):
+    from pgica_tpu.models.lora import lora_from_tree, lora_to_tree
+
+    lora = init_lora(model.params, jax.random.PRNGKey(0), rank=4)
+    back = lora_from_tree(lora_to_tree(lora))
+    assert set(back) == set(lora)
+    for k in lora:
+        np.testing.assert_array_equal(np.asarray(lora[k][0]), np.asarray(back[k][0]))
+
+
+def test_lora_stage2_trains_adapters_only(tmp_path):
+    """End-to-end: a LoRA stage-2 run updates ONLY adapter factors, keeps the
+    base frozen, checkpoints base+factors, and restores them (VERDICT item 2)."""
+    from pgica_tpu.training.checkpoint import CheckpointManager, effective_params
+    from pgica_tpu.training.trainer import PreferenceGuidedTrainer
+    from pgica_tpu.utils.config import Config
+    from pgica_tpu.utils.factories import DummyPreferenceDataset, create_processors
+    from pgica_tpu.data.loader import DataLoader
+
+    cfg = Config("configs/smoke.yaml")
+    cfg.set("model.lora_config", {"r": 4, "lora_alpha": 8, "target_modules": ["c_attn"]})
+    cfg.set("training.stage2.num_epochs", 1)
+    cfg.set("training.load_best_model_at_end", False)
+    cfg.set("paths.output_dir", str(tmp_path / "out"))
+    cfg.set("paths.checkpoint_dir", str(tmp_path / "ckpt"))
+
+    from pgica_tpu.utils.factories import create_model, create_tokenizer
+
+    tokenizer = create_tokenizer(cfg)
+    model = create_model(cfg, tokenizer)
+    assert model.lora is not None and model.lora_config["rank"] == 4
+
+    image_processor, text_processor = create_processors(cfg, tokenizer)
+    ds = DummyPreferenceDataset(image_processor, text_processor, num_samples=8, seed=0)
+    loader = DataLoader(ds, batch_size=4)
+    base_before = jax.tree.map(lambda x: np.asarray(x).copy(), model.params)
+    lora_before = jax.tree.map(lambda x: np.asarray(x).copy(), model.lora)
+
+    trainer = PreferenceGuidedTrainer(
+        model, cfg, preference_train_loader=loader, preference_val_loader=loader,
+        output_dir=str(tmp_path / "out"),
+    )
+    trainer.train_stage2()
+
+    # base untouched, adapters moved
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(base_before),
+        jax.tree_util.tree_leaves_with_path(model.params),
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b), err_msg=str(pa))
+    moved = any(
+        not np.allclose(np.asarray(lora_before[k][1]), np.asarray(model.lora[k][1]))
+        for k in lora_before
+    )
+    assert moved, "no adapter factor changed during LoRA training"
+
+    # checkpoint carries base + factors; effective_params merges them
+    ckpt = CheckpointManager(tmp_path / "ckpt").restore("checkpoint_stage2_epoch0")
+    assert ckpt.get("lora"), "LoRA factors missing from checkpoint"
+    merged = effective_params(ckpt)
+    q_base = base_before["caption_decoder"]["lm"]["block_0"]["attn"]["q_proj"]["kernel"]
+    q_merged = np.asarray(merged["caption_decoder"]["lm"]["block_0"]["attn"]["q_proj"]["kernel"])
+    assert not np.allclose(q_base, q_merged), "merged params identical to base"

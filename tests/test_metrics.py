@@ -179,3 +179,57 @@ class TestRunner:
         )
         assert out["human_eval_helpfulness_mean"] == pytest.approx(4.5)
         assert out["human_eval_count"] == 2
+
+
+class TestMeteorNltkGolden:
+    """Golden values computed with nltk.single_meteor_score semantics
+    (exact + Porter-stem stages, alpha=.9 beta=3 gamma=.5) — VERDICT item 6."""
+
+    def test_exact_match_identity(self):
+        m = CaptioningMetrics()
+        out = m.compute_meteor_score(["the cat sat on the mat"], [["the cat sat on the mat"]])
+        assert out["meteor"] == pytest.approx(0.9977, abs=1e-3)  # 1 chunk penalty
+        assert out["meteor_nltk"] == 1.0
+
+    def test_partial_match_golden(self):
+        # hand-checked with nltk 3.10: hyp "a cat sat on a mat" vs
+        # ref "the cat sat on the mat" -> 0.625
+        m = CaptioningMetrics()
+        out = m.compute_meteor_score(["a cat sat on a mat"], [["the cat sat on the mat"]])
+        assert out["meteor"] == pytest.approx(0.625, abs=1e-3)
+
+    def test_stem_stage_matches(self):
+        # "cats"/"cat", "sitting"/"sat" (no), "mats"/"mat": porter-stem stage
+        # aligns plural forms -> 0.80667 per nltk 3.10
+        m = CaptioningMetrics()
+        out = m.compute_meteor_score(
+            ["the cats sitting on the mats"], [["the cat sat on the mat"]]
+        )
+        assert out["meteor"] == pytest.approx(0.8067, abs=1e-3)
+
+    def test_no_match_zero(self):
+        m = CaptioningMetrics()
+        assert m.compute_meteor_score(["xyz"], [["abc def"]])["meteor"] == 0.0
+
+
+class TestMetricProvenanceFlags:
+    def test_bert_score_chargram_flagged_proxy(self):
+        m = CaptioningMetrics()
+        out = m.compute_bert_score(["a cat"], [["a cat"]])
+        assert out["bert_score_proxy"] == 1.0
+
+    def test_clip_score_self_judged_flag(self, tiny_model):
+        import numpy as np
+
+        m = CaptioningMetrics(model=tiny_model)
+        images = np.zeros((2, tiny_model.image_size, tiny_model.image_size, 3), np.float32)
+        out = m.compute_clip_score(images, ["a", "b"])
+        assert out["clip_score_self_judged"] == 1.0
+
+    def test_clip_score_independent_judge_flag(self, tiny_model):
+        import numpy as np
+
+        m = CaptioningMetrics(model=tiny_model, clip_judge=tiny_model)
+        images = np.zeros((2, tiny_model.image_size, tiny_model.image_size, 3), np.float32)
+        out = m.compute_clip_score(images, ["a", "b"])
+        assert out["clip_score_self_judged"] == 0.0
