@@ -33,6 +33,7 @@ is automatic (pallas on TPU for aligned shapes, XLA otherwise).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -266,6 +267,126 @@ def _fused_bwd(block_r, block_v, interpret, residuals, g):
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --------------------------------------------------- vocab-parallel (TP) path
+
+
+def _local_stats(hidden, emb_loc, y_loc, block_r, block_v, interpret, use_pallas):
+    """Per-shard (target-score contribution, local logsumexp) over the local
+    vocab slice. Out-of-shard targets (y_loc outside [0, vloc)) contribute 0."""
+    if use_pallas:
+        out_loc, lse_pad = _fused_fwd_impl(hidden, emb_loc, y_loc, block_r, block_v, interpret)
+        lse_loc = lse_pad[: hidden.shape[0]]
+        return out_loc + lse_loc, lse_loc
+    logits = hidden.astype(jnp.float32) @ emb_loc.astype(jnp.float32).T
+    lse_loc = jax.nn.logsumexp(logits, axis=-1)
+    cols = jnp.arange(emb_loc.shape[0])[None, :]
+    tgt_loc = jnp.sum(jnp.where(cols == y_loc[:, None], logits, 0.0), axis=-1)
+    return tgt_loc, lse_loc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _fused_tp(hidden, emb_loc, y_loc, axis_name, block_r, block_v, interpret, use_pallas, true_vocab):
+    out, _ = _fused_tp_fwd(
+        hidden, emb_loc, y_loc, axis_name, block_r, block_v, interpret, use_pallas, true_vocab
+    )
+    return out
+
+
+def _fused_tp_fwd(hidden, emb_loc, y_loc, axis_name, block_r, block_v, interpret, use_pallas, true_vocab):
+    tgt_loc, lse_loc = _local_stats(hidden, emb_loc, y_loc, block_r, block_v, interpret, use_pallas)
+    vloc = emb_loc.shape[0]
+    if true_vocab is not None and true_vocab < vloc * jax.lax.axis_size(axis_name):
+        # The global embedding was padded with ZERO rows to make the vocab
+        # divisible by the axis; each padded row contributed exp(h.0)=1 to this
+        # shard's sumexp. Remove those contributions analytically (padded rows
+        # can never be targets, and their zero vectors contribute nothing to
+        # dh; dW rows are sliced off by the outer pad's transpose).
+        offset = jax.lax.axis_index(axis_name) * vloc
+        n_pad = jnp.clip(offset + vloc - true_vocab, 0, vloc).astype(jnp.float32)
+        frac = jnp.clip(n_pad * jnp.exp(-lse_loc), 0.0, 1.0 - 1e-7)
+        corrected = lse_loc + jnp.log1p(-frac)
+        lse_loc = jnp.where(n_pad >= vloc, NEG_INF, jnp.where(n_pad > 0, corrected, lse_loc))
+    # Numerically-stable cross-shard logsumexp + target-score reduction
+    # (Megatron vocab-parallel CE dataflow): one pmax + two psums over ICI.
+    m = jax.lax.pmax(lse_loc, axis_name)
+    lse_g = m + jnp.log(jax.lax.psum(jnp.exp(lse_loc - m), axis_name))
+    tgt = jax.lax.psum(tgt_loc, axis_name)
+    return tgt - lse_g, (hidden, emb_loc, y_loc, lse_g)
+
+
+def _fused_tp_bwd(axis_name, block_r, block_v, interpret, use_pallas, true_vocab, residuals, g):
+    """Local backward using the GLOBAL logsumexp.
+
+    shard_map transpose semantics (verified by tests/test_parallel.py grad
+    parity on 8 devices): the cotangent of an output replicated over
+    ``axis_name`` arrives DIVIDED by the axis size on each shard, and input
+    cotangents are psummed over every mesh axis absent from their in_spec.
+    So: recover the true cotangent with one psum over ``axis_name``, then
+    return raw per-shard partials — the boundary psums reassemble full dh
+    (over the vocab axis) and full dW (over the batch axes).
+    """
+    hidden, emb_loc, y_loc, lse_g = residuals
+    g = jax.lax.psum(g, axis_name)
+    if use_pallas:
+        rows = hidden.shape[0]
+        br, _, rows_p, _ = _block_sizes(rows, emb_loc.shape[0], block_r, block_v)
+        lse_padded = _pad_rows(lse_g, rows_p)
+        dh_loc, dw_loc, _ = _fused_bwd(
+            block_r, block_v, interpret, (hidden, emb_loc, y_loc, lse_padded), g
+        )
+    else:
+        h32 = hidden.astype(jnp.float32)
+        logits = h32 @ emb_loc.astype(jnp.float32).T
+        p = jnp.exp(logits - lse_g[:, None])
+        cols = jnp.arange(emb_loc.shape[0])[None, :]
+        coeff = (jnp.where(cols == y_loc[:, None], 1.0, 0.0) - p) * g.astype(jnp.float32)[:, None]
+        dh_loc = (coeff @ emb_loc.astype(jnp.float32)).astype(hidden.dtype)
+        dw_loc = (coeff.T @ h32).astype(emb_loc.dtype)
+    return dh_loc, dw_loc, None
+
+
+_fused_tp.defvjp(_fused_tp_fwd, _fused_tp_bwd)
+
+
+def fused_token_logprobs_tp(
+    hidden: jax.Array,
+    embedding_local: jax.Array,
+    targets: jax.Array,
+    axis_name: str,
+    block_rows: int = 256,
+    block_vocab: int = 512,
+    impl: str = "auto",
+    true_vocab: Optional[int] = None,
+) -> jax.Array:
+    """Vocab-parallel fused linear-CE — call INSIDE shard_map with the
+    embedding sharded over ``axis_name`` (rows [shard*Vloc, (shard+1)*Vloc)).
+
+    ``targets`` hold GLOBAL token ids; each shard contributes its local slice
+    of the target score and logsumexp, combined with one pmax + two psums —
+    the sharded wte is never gathered (BACKLOG "fused linear-CE under TP").
+    Matches :func:`fused_token_logprobs` on the unsharded arrays numerically.
+
+    When the global vocab is not divisible by the axis, pad the embedding
+    with zero rows before shard_map and pass the unpadded size as
+    ``true_vocab`` — the padded rows' softmax contributions are removed
+    analytically inside the forward.
+    """
+    vloc = embedding_local.shape[0]
+    offset = jax.lax.axis_index(axis_name) * vloc
+    y_loc = (targets - offset).astype(jnp.int32)
+    d = hidden.shape[1]
+    if impl == "auto":
+        tpu = jax.default_backend() not in ("cpu",)
+        use_pallas = tpu and d % 128 == 0 and vloc >= 512
+    else:
+        use_pallas = impl == "pallas"
+    interpret = jax.default_backend() == "cpu"
+    return _fused_tp(
+        hidden, embedding_local, y_loc, axis_name, block_rows, block_vocab,
+        interpret, use_pallas, true_vocab,
+    )
 
 
 def fused_token_logprobs(

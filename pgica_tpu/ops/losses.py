@@ -149,13 +149,64 @@ def sequence_logprobs_from_hidden(
     attention_mask: jax.Array,
     length_normalized: bool = False,
     impl: str = "auto",
+    mesh=None,
+    data_axes: Tuple[str, ...] = ("data", "fsdp"),
+    vocab_axis: str = "model",
 ) -> jax.Array:
     """Per-sequence logprobs via the fused linear-CE kernel (logits never
     materialized; see ops/fused_ce.py). Semantics identical to
-    :func:`sequence_logprobs` with logits = hidden @ embedding.T."""
-    from pgica_tpu.ops.fused_ce import fused_token_logprobs
+    :func:`sequence_logprobs` with logits = hidden @ embedding.T.
+
+    With ``mesh`` (and a >1 ``vocab_axis``), the reduction runs under
+    shard_map with the embedding kept vocab-sharded — the Megatron
+    vocab-parallel CE dataflow — instead of letting GSPMD all-gather the
+    wte around the opaque Pallas call.
+    """
+    from pgica_tpu.ops.fused_ce import fused_token_logprobs, fused_token_logprobs_tp
 
     b, s, d = hidden.shape
+
+    if mesh is not None and mesh.shape.get(vocab_axis, 1) > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        batch_axes = tuple(a for a in data_axes if mesh.shape.get(a, 1) > 1) or None
+
+        # Pad the vocab to an axis multiple with ZERO rows (their softmax
+        # contribution is removed analytically via true_vocab; the pad's
+        # transpose slices dW back). Differentiable end to end.
+        vocab = embedding.shape[0]
+        n_shards = mesh.shape[vocab_axis]
+        vocab_p = ((vocab + n_shards - 1) // n_shards) * n_shards
+        if vocab_p != vocab:
+            embedding = jnp.pad(embedding, ((0, vocab_p - vocab), (0, 0)))
+
+        def body(h, emb, ids, mask):
+            rows = h[:, :-1].reshape(-1, d)
+            targets = ids[:, 1:].reshape(-1)
+            tok = fused_token_logprobs_tp(
+                rows, emb, targets, vocab_axis, impl=impl, true_vocab=vocab
+            )
+            tok = tok.reshape(h.shape[0], s - 1)
+            m = mask[:, 1:].astype(jnp.float32)
+            out = jnp.sum(tok * m, axis=-1)
+            if length_normalized:
+                out = out / jnp.clip(jnp.sum(m, axis=-1), 1.0, None)
+            return out
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P(batch_axes, None, None),
+                P(vocab_axis, None),
+                P(batch_axes, None),
+                P(batch_axes, None),
+            ),
+            out_specs=P(batch_axes),
+            check_vma=False,
+        )(hidden, embedding, input_ids, attention_mask)
+
     rows = hidden[:, :-1].reshape(b * (s - 1), d)
     targets = input_ids[:, 1:].reshape(-1)
     tok_logp = fused_token_logprobs(rows, embedding, targets, impl=impl).reshape(b, s - 1)

@@ -196,13 +196,15 @@ def decoder_embedding(params):
 
 def _policy_pair_logprobs(
     module, params, images, batch, rng=None,
-    length_normalized=False, use_fused_ce=True,
+    length_normalized=False, use_fused_ce=True, mesh=None,
 ):
     """One vision encode + ONE decoder pass over [chosen; rejected].
 
     Returns per-sequence logprobs for the chosen and rejected halves. With
     ``use_fused_ce`` the unused logits output is dead-code-eliminated by XLA
     and logprobs come from the fused linear-CE kernel over hidden states.
+    ``mesh`` (with a >1 model axis) switches the logprob reduction to the
+    vocab-parallel shard_map path so the TP-sharded wte is never gathered.
     """
     kwargs = {}
     deterministic = rng is None
@@ -222,7 +224,8 @@ def _policy_pair_logprobs(
     )
     if use_fused_ce:
         logps = sequence_logprobs_from_hidden(
-            dec["hidden_states"], decoder_embedding(params), ids, mask, length_normalized
+            dec["hidden_states"], decoder_embedding(params), ids, mask, length_normalized,
+            mesh=mesh,
         )
     else:
         logps = sequence_logprobs(dec["logits"], ids, mask, length_normalized)
@@ -242,6 +245,7 @@ def stage2_loss_fn(
     augment: bool,
     base_params=None,
     lora: Optional[Tuple[float, int]] = None,
+    mesh=None,
 ):
     params = _effective_params(params, base_params, lora)
     aug_rng, dropout_rng = jax.random.split(rng)
@@ -251,13 +255,14 @@ def stage2_loss_fn(
     b = images.shape[0]
 
     pc, pr = _policy_pair_logprobs(
-        module, params, images, batch, dropout_rng, length_normalized
+        module, params, images, batch, dropout_rng, length_normalized, mesh=mesh
     )
 
     rc = rr = None
     if not reference_free and ref_params is not None:
         rc, rr = _policy_pair_logprobs(
-            module, jax.lax.stop_gradient(ref_params), images, batch, None, length_normalized
+            module, jax.lax.stop_gradient(ref_params), images, batch, None,
+            length_normalized, mesh=mesh,
         )
 
     loss, metrics = dpo_loss(
@@ -278,11 +283,13 @@ def make_stage2_train_step(
     label_smoothing: float = 0.0,
     augment: bool = True,
     lora: Optional[Tuple[float, int]] = None,
+    mesh=None,
 ) -> Callable:
     """Returns fn(state, ref_params, batch, rng, base_params=None) -> (state, metrics).
 
     In LoRA mode the frozen DPO reference is simply the base tree (adapters
-    start as a no-op, so base == the policy at stage-2 start).
+    start as a no-op, so base == the policy at stage-2 start). ``mesh`` with
+    a >1 model axis keeps the DPO logprob reduction vocab-parallel.
     """
 
     def step(state: TrainState, ref_params, batch, rng, base_params=None):
@@ -290,7 +297,7 @@ def make_stage2_train_step(
         (loss, metrics), grads = jax.value_and_grad(stage2_loss_fn, has_aux=True)(
             state.params, ref_params, batch, rng, module,
             beta, reference_free, length_normalized, label_smoothing, augment,
-            base_params, lora,
+            base_params, lora, mesh,
         )
         new_state, grad_norm = _apply_update(state, grads, optimizer, loss)
         metrics["grad_norm"] = grad_norm
@@ -302,18 +309,18 @@ def make_stage2_train_step(
 
 def make_stage2_eval_step(
     module, beta: float, reference_free: bool = False, length_normalized: bool = False,
-    lora: Optional[Tuple[float, int]] = None,
+    lora: Optional[Tuple[float, int]] = None, mesh=None,
 ) -> Callable:
     def step(params, ref_params, batch, base_params=None):
         params = _effective_params(params, base_params, lora)
         images = prepare_images(batch["image"])
         pc, pr = _policy_pair_logprobs(
-            module, params, images, batch, None, length_normalized
+            module, params, images, batch, None, length_normalized, mesh=mesh
         )
         rc = rr = None
         if not reference_free and ref_params is not None:
             rc, rr = _policy_pair_logprobs(
-                module, ref_params, images, batch, None, length_normalized
+                module, ref_params, images, batch, None, length_normalized, mesh=mesh
             )
         loss, metrics = dpo_loss(pc, pr, rc, rr, beta=beta, reference_free=reference_free)
         metrics["loss"] = loss

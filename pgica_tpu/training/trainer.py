@@ -326,6 +326,13 @@ class PreferenceGuidedTrainer:
             )
         state = self._maybe_resume_opt_state(TrainState.create(trainable, optimizer))
 
+        # Under tensor parallelism the DPO logprob reduction goes through the
+        # vocab-parallel shard_map path (sequence_logprobs_from_hidden) so the
+        # model-axis-sharded wte is never gathered.
+        tp_mesh = None
+        if self.mesh is not None and self.mesh.shape.get("model", 1) > 1 and lora is None:
+            tp_mesh = self.mesh.mesh
+
         train_step = jax.jit(
             make_stage2_train_step(
                 self.model.module,
@@ -336,6 +343,7 @@ class PreferenceGuidedTrainer:
                 label_smoothing=float(cfg.get("label_smoothing", 0.0)),
                 augment=True,
                 lora=lora,
+                mesh=tp_mesh,
             ),
             donate_argnums=(0,),
         )
@@ -346,6 +354,7 @@ class PreferenceGuidedTrainer:
                 reference_free=reference_free,
                 length_normalized=bool(cfg.get("length_normalized", False)),
                 lora=lora,
+                mesh=tp_mesh,
             )
         )
         rng = prng.purpose_key(prng.root_key(self.seed), "train_stage2")

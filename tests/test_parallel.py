@@ -5,7 +5,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pgica_tpu.parallel.mesh import MeshContext
 from pgica_tpu.parallel.sharding import infer_param_spec, make_param_shardings, shard_params
@@ -180,3 +180,167 @@ class TestScaledConfigShapes:
         state, metrics = step(state, ref_params, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
         assert 0.0 <= float(metrics["reward_accuracy"]) <= 1.0
+
+
+class TestVocabParallelFusedCE:
+    """Megatron-style vocab-parallel fused linear-CE (VERDICT item 5): the
+    model-axis-sharded wte is never gathered; values and grads must match the
+    unsharded reference."""
+
+    def _mesh(self, model=4):
+        devs = np.asarray(jax.devices()[:8]).reshape(8 // model, model)
+        return Mesh(devs, ("data", "model"))
+
+    def test_values_match_unsharded(self, rng):
+        from jax import shard_map
+
+        from pgica_tpu.ops.fused_ce import fused_token_logprobs, fused_token_logprobs_tp
+
+        rows, d, vocab = 16, 8, 64
+        h = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(vocab, d)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, vocab, (rows,)).astype(np.int32))
+        ref = fused_token_logprobs(h, w, y, impl="xla")
+        mesh = self._mesh()
+        out = shard_map(
+            lambda h_, w_, y_: fused_token_logprobs_tp(h_, w_, y_, "model", impl="xla"),
+            mesh=mesh,
+            in_specs=(P("data", None), P("model", None), P("data",)),
+            out_specs=P("data"),
+            check_vma=False,
+        )(h, w, y)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_values_match_pallas_interpret(self, rng):
+        from jax import shard_map
+
+        from pgica_tpu.ops.fused_ce import fused_token_logprobs, fused_token_logprobs_tp
+
+        rows, d, vocab = 16, 8, 64
+        h = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(vocab, d)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, vocab, (rows,)).astype(np.int32))
+        ref = fused_token_logprobs(h, w, y, impl="xla")
+        mesh = self._mesh(model=2)
+        out = shard_map(
+            lambda h_, w_, y_: fused_token_logprobs_tp(
+                h_, w_, y_, "model", block_rows=8, block_vocab=16, impl="pallas"
+            ),
+            mesh=mesh,
+            in_specs=(P("data", None), P("model", None), P("data",)),
+            out_specs=P("data"),
+            check_vma=False,
+        )(h, w, y)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_grads_match_unsharded(self, rng):
+        from jax import shard_map
+
+        from pgica_tpu.ops.fused_ce import fused_token_logprobs, fused_token_logprobs_tp
+
+        rows, d, vocab = 16, 8, 64
+        h = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(vocab, d)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, vocab, (rows,)).astype(np.int32))
+        g = jnp.asarray(rng.normal(size=(rows,)).astype(np.float32))
+        mesh = self._mesh()
+
+        def loss_sharded(h_, w_):
+            fn = shard_map(
+                lambda hh, ww, yy: fused_token_logprobs_tp(hh, ww, yy, "model", impl="xla"),
+                mesh=mesh,
+                in_specs=(P("data", None), P("model", None), P("data",)),
+                out_specs=P("data"),
+                check_vma=False,
+            )
+            return jnp.sum(fn(h_, w_, y) * g)
+
+        def loss_ref(h_, w_):
+            return jnp.sum(fused_token_logprobs(h_, w_, y, impl="xla") * g)
+
+        gs = jax.grad(loss_sharded, argnums=(0, 1))(h, w)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(h, w)
+        np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gr[0]), atol=1e-4, err_msg="dh")
+        np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gr[1]), atol=1e-4, err_msg="dW")
+
+    def test_stage2_step_under_tp_mesh_fused_matches_xla(self, rng):
+        """Scaled-down gpt2-large-shaped stage-2 DPO step under fsdp x model
+        sharding: the fused vocab-parallel path must agree with plain XLA
+        logprobs computed from the same hidden states."""
+        from pgica_tpu.data.tokenizer import CaptionTokenizer
+        from pgica_tpu.models import PreferenceGuidedCaptioningModel
+        from pgica_tpu.ops.losses import sequence_logprobs, sequence_logprobs_from_hidden
+        from pgica_tpu.parallel.mesh import MeshContext
+        from pgica_tpu.parallel.sharding import shard_params
+        from pgica_tpu.training.train_step import decoder_embedding
+
+        tok = CaptionTokenizer()
+        model = PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=16,
+            tokenizer=tok, max_caption_length=12, image_size=32, seed=0,
+        )
+        mesh_ctx = MeshContext(data=2, fsdp=2, model=2, devices=jax.devices()[:8])
+        params = shard_params(model.params, mesh_ctx.mesh)
+        ids, mask = tok.encode_batch([f"a colorful caption {i}" for i in range(4)], 12)
+        images = mesh_ctx.shard_batch(
+            {"image": rng.normal(size=(4, 32, 32, 3)).astype(np.float32)}
+        )["image"]
+        ids = jnp.asarray(ids)
+        mask = jnp.asarray(mask)
+
+        @jax.jit
+        def run(params, images, ids, mask):
+            vision = model.module.apply(
+                {"params": params}, images, method="encode_image"
+            )
+            dec = model.module.apply(
+                {"params": params}, ids, mask, vision["embeddings"], True,
+                method="decode_train",
+            )
+            emb = decoder_embedding(params)
+            fused = sequence_logprobs_from_hidden(
+                dec["hidden_states"], emb, ids, mask, mesh=mesh_ctx.mesh
+            )
+            plain = sequence_logprobs(dec["logits"], ids, mask)
+            return fused, plain
+
+        fused, plain = run(params, images, ids, mask)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), atol=1e-3, rtol=1e-4)
+
+    def test_grads_with_padded_vocab(self, rng):
+        """Non-divisible vocab: padded zero rows must not perturb values/grads."""
+        from jax import shard_map
+
+        from pgica_tpu.ops.fused_ce import fused_token_logprobs, fused_token_logprobs_tp
+
+        rows, d, vocab, n_model = 16, 8, 67, 4  # 67 % 4 != 0
+        h = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(vocab, d)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, vocab, (rows,)).astype(np.int32))
+        g = jnp.asarray(rng.normal(size=(rows,)).astype(np.float32))
+        mesh = self._mesh(model=n_model)
+        vocab_p = ((vocab + n_model - 1) // n_model) * n_model
+
+        def loss_sharded(h_, w_):
+            w_pad = jnp.pad(w_, ((0, vocab_p - vocab), (0, 0)))
+            fn = shard_map(
+                lambda hh, ww, yy: fused_token_logprobs_tp(
+                    hh, ww, yy, "model", impl="xla", true_vocab=vocab
+                ),
+                mesh=mesh,
+                in_specs=(P("data", None), P("model", None), P("data",)),
+                out_specs=P("data"),
+                check_vma=False,
+            )
+            return jnp.sum(fn(h_, w_pad, y) * g)
+
+        def loss_ref(h_, w_):
+            return jnp.sum(fused_token_logprobs(h_, w_, y, impl="xla") * g)
+
+        v_s = loss_sharded(h, w)
+        v_r = loss_ref(h, w)
+        np.testing.assert_allclose(float(v_s), float(v_r), rtol=1e-5)
+        gs = jax.grad(loss_sharded, argnums=(0, 1))(h, w)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(h, w)
+        np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gr[0]), atol=1e-4, err_msg="dh")
+        np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gr[1]), atol=1e-4, err_msg="dW")
