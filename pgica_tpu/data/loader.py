@@ -403,6 +403,11 @@ class DataLoader:
             items = [self.dataset[i] for i in idx]
         return self.collate_fn(items)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch (torch DistributedSampler convention) so a
+        resumed run replays the exact same batch order for that epoch."""
+        self._epoch = int(epoch)
+
     def __iter__(self):
         batches = self._batch_indices()
         self._epoch += 1

@@ -150,7 +150,7 @@ def sequence_logprobs_from_hidden(
     length_normalized: bool = False,
     impl: str = "auto",
     mesh=None,
-    data_axes: Tuple[str, ...] = ("data", "fsdp"),
+    data_axes: Tuple[str, ...] = ("dcn", "data", "fsdp"),
     vocab_axis: str = "model",
 ) -> jax.Array:
     """Per-sequence logprobs via the fused linear-CE kernel (logits never

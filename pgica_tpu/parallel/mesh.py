@@ -9,8 +9,12 @@ The reference's distributed backend is HF Accelerate over NCCL DDP
 * ``model`` — tensor-parallel axis for the scaled configs (ViT-L/14 +
   GPT-2 Large, SigLIP + Llama-3-8B): attention heads and MLP hidden sharded.
 
-A future multi-slice deployment adds an outer DCN axis; the factory accepts
-explicit device lists so tests can build 8-device CPU meshes.
+Multi-slice deployments add the outer ``dcn`` axis (data parallelism across
+slices over the data-center network): batches are additionally split over it
+and gradient all-reduces ride DCN — XLA's SPMD partitioner schedules the ICI
+(in-slice) reductions first, then the cross-slice reduce-scatter/all-gather,
+which is the bandwidth-optimal order (scaling-book recipe). The factory
+accepts explicit device lists so tests can build 8-device CPU meshes.
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 logger = logging.getLogger(__name__)
 
-AXES = ("data", "fsdp", "model")
+AXES = ("dcn", "data", "fsdp", "model")
 
 
 class MeshContext:
@@ -36,21 +40,24 @@ class MeshContext:
         data: int = -1,
         fsdp: int = 1,
         model: int = 1,
+        dcn: int = 1,
         devices: Optional[Sequence[Any]] = None,
     ):
         devices = list(devices) if devices is not None else jax.devices()
         n = len(devices)
         if data == -1:
-            if n % (fsdp * model) != 0:
-                raise ValueError(f"{n} devices not divisible by fsdp*model={fsdp * model}")
-            data = n // (fsdp * model)
-        if data * fsdp * model != n:
+            if n % (dcn * fsdp * model) != 0:
+                raise ValueError(
+                    f"{n} devices not divisible by dcn*fsdp*model={dcn * fsdp * model}"
+                )
+            data = n // (dcn * fsdp * model)
+        if dcn * data * fsdp * model != n:
             raise ValueError(
-                f"Mesh {data}x{fsdp}x{model} does not match {n} devices"
+                f"Mesh {dcn}x{data}x{fsdp}x{model} does not match {n} devices"
             )
-        device_array = np.asarray(devices).reshape(data, fsdp, model)
+        device_array = np.asarray(devices).reshape(dcn, data, fsdp, model)
         self.mesh = Mesh(device_array, AXES)
-        self.shape: Dict[str, int] = dict(zip(AXES, (data, fsdp, model)))
+        self.shape: Dict[str, int] = dict(zip(AXES, (dcn, data, fsdp, model)))
         logger.info("Mesh created: %s over %d %s devices", self.shape, n, devices[0].platform)
 
     @classmethod
@@ -59,6 +66,7 @@ class MeshContext:
             data=config.get("mesh.data", -1),
             fsdp=config.get("mesh.fsdp", 1),
             model=config.get("mesh.model", 1),
+            dcn=config.get("mesh.dcn", 1),
             devices=devices,
         )
 
@@ -68,7 +76,7 @@ class MeshContext:
 
     @property
     def data_parallel_size(self) -> int:
-        return self.shape["data"] * self.shape["fsdp"]
+        return self.shape["dcn"] * self.shape["data"] * self.shape["fsdp"]
 
     # -- shardings ---------------------------------------------------------------
 
@@ -77,8 +85,8 @@ class MeshContext:
 
     @property
     def batch_sharding(self) -> NamedSharding:
-        """Leading (batch) dim split over data+fsdp; rest replicated."""
-        return self.sharding(("data", "fsdp"))
+        """Leading (batch) dim split over dcn+data+fsdp; rest replicated."""
+        return self.sharding(("dcn", "data", "fsdp"))
 
     @property
     def replicated(self) -> NamedSharding:

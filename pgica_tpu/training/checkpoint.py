@@ -50,12 +50,19 @@ def effective_params(payload: Dict[str, Any]):
 
 
 class CheckpointManager:
-    """Save/restore training state with per-epoch + per-stage-best files."""
+    """Save/restore training state with per-epoch + per-stage-best files,
+    plus a rotating async mid-epoch autosave for preemption recovery."""
 
-    def __init__(self, checkpoint_dir):
+    def __init__(self, checkpoint_dir, async_save: bool = True):
         self.checkpoint_dir = Path(checkpoint_dir)
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
         self._ckpt = ocp.PyTreeCheckpointer()
+        self._async = None
+        if async_save:
+            try:
+                self._async = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            except Exception as e:  # pragma: no cover
+                logger.warning("Async checkpointing unavailable (%s)", e)
 
     def _path(self, name: str) -> Path:
         return (self.checkpoint_dir / name).resolve()
@@ -74,18 +81,35 @@ class CheckpointManager:
         overwrite: bool = True,
         lora: Any = None,
         lora_config: Optional[Dict] = None,
+        step_in_epoch: int = 0,
+        use_async: bool = False,
     ) -> Path:
         path = self._path(name)
         payload = {"params": _to_host(params)}
         if opt_state is not None:
-            payload["opt_state"] = _to_host(opt_state)
+            # Canonical encoding: orbax flattens optax's namedtuple states to
+            # plain dicts (losing the treedef), so serialize via flax's
+            # state-dict form — restore rebuilds the typed structure against
+            # a freshly-initialized optimizer state (trainer._maybe_resume_
+            # opt_state).
+            import flax.serialization
+
+            payload["opt_state"] = _to_host(flax.serialization.to_state_dict(opt_state))
         if lora is not None:
             payload["lora"] = _to_host(lora)
-        self._ckpt.save(path, payload, force=overwrite)
+        if use_async and self._async is not None:
+            # Preemption-safe rotating save: IO proceeds in the background
+            # (Orbax finalizes into the target dir atomically); the next save
+            # on this manager waits for the in-flight one first.
+            self._async.wait_until_finished()
+            self._async.save(path, payload, force=overwrite)
+        else:
+            self._ckpt.save(path, payload, force=overwrite)
         meta = {
             "epoch": epoch,
             "stage": stage,
             "global_step": global_step,
+            "step_in_epoch": int(step_in_epoch),
             "val_loss": None if val_loss is None else float(val_loss),
             "config": config,
         }
@@ -94,7 +118,13 @@ class CheckpointManager:
                 lambda x: list(x) if isinstance(x, tuple) else x, lora_config,
                 is_leaf=lambda x: isinstance(x, tuple),
             )
-        with open(path / "meta.json", "w") as f:
+        if use_async and self._async is not None:
+            # The async save finalizes by RENAMING a tmp dir onto `path`;
+            # pre-creating path/meta.json would break that. Sidecar instead.
+            meta_path = self.checkpoint_dir / f"{name}.meta.json"
+        else:
+            meta_path = path / "meta.json"
+        with open(meta_path, "w") as f:
             json.dump(meta, f, indent=2)
         logger.info("Saved checkpoint %s (stage %d epoch %d step %d)", path, stage, epoch, global_step)
         return path
@@ -105,7 +135,18 @@ class CheckpointManager:
     def save_best(self, stage: int, **kw) -> Path:
         return self.save(f"best_model_stage{stage}", stage=stage, **kw)
 
+    def save_autosave(self, stage: int, **kw) -> Path:
+        """Rotating mid-epoch checkpoint (``autosave_stage{S}``), written
+        asynchronously so the train loop is not blocked on IO."""
+        return self.save(f"autosave_stage{stage}", stage=stage, use_async=True, **kw)
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has finalized."""
+        if self._async is not None:
+            self._async.wait_until_finished()
+
     def restore(self, name_or_path) -> Dict[str, Any]:
+        self.wait()  # never read a half-written autosave from this process
         path = Path(name_or_path)
         if not path.exists():
             path = self._path(str(name_or_path))
@@ -113,6 +154,8 @@ class CheckpointManager:
             raise FileNotFoundError(f"Checkpoint not found: {name_or_path}")
         payload = self._ckpt.restore(path)
         meta_path = path / "meta.json"
+        if not meta_path.exists():  # async saves keep a sidecar meta file
+            meta_path = path.parent / f"{path.name}.meta.json"
         meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
         payload["meta"] = meta
         return payload

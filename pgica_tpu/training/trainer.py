@@ -95,6 +95,11 @@ class PreferenceGuidedTrainer:
         self.best_val_loss: Dict[int, float] = {1: float("inf"), 2: float("inf")}
         self.early_stopping_patience = config.get("training.early_stopping_patience", 3)
         self.logging_steps = config.get("training.logging_steps", 100)
+        # Preemption-aware mid-epoch autosave cadence (async Orbax): enabled
+        # when training.save_strategy == "steps" (reference schema key).
+        strategy = str(config.get("training.save_strategy", "steps")).lower()
+        self.save_steps = int(config.get("training.save_steps", 0) or 0) if strategy == "steps" else 0
+        self._resume: Optional[Dict[str, int]] = None  # stage/epoch/step_in_epoch
         self.seed = config.get("training.seed", 42)
         self.history: Dict[str, List] = {"stage1": [], "stage2": []}
         self._setup_tracking()
@@ -209,6 +214,32 @@ class PreferenceGuidedTrainer:
             return 0
         return counter + 1
 
+    def _resume_window(self, stage: int, num_epochs: int):
+        """(start_epoch, skip_steps) for this stage given a restored checkpoint.
+
+        Mid-epoch autosaves (step_in_epoch > 0) resume INSIDE that epoch by
+        skipping the already-consumed leading batches (the loader's shuffle is
+        pinned per epoch, so the order replays exactly); end-of-epoch
+        checkpoints resume at the next epoch.
+        """
+        if not self._resume or self._resume.get("stage") != stage:
+            return 0, 0
+        info, self._resume = self._resume, None  # consume once
+        epoch = int(info.get("epoch", 0))
+        step_in_epoch = int(info.get("step_in_epoch", 0))
+        if step_in_epoch > 0:
+            return min(epoch, num_epochs), step_in_epoch
+        return min(epoch + 1, num_epochs), 0
+
+    def _maybe_autosave(self, stage: int, epoch: int, step_idx: int, state):
+        if not self.save_steps or self.global_step % self.save_steps != 0:
+            return
+        self.checkpoints.save_autosave(
+            stage, epoch=epoch, opt_state=state.opt_state,
+            global_step=self.global_step, step_in_epoch=step_idx + 1,
+            config=self.config.to_dict(), **self._ckpt_payload(state),
+        )
+
     def _sync_model(self, state):
         """Push the train state back onto the model wrapper."""
         if self._lora_base is not None:
@@ -259,10 +290,12 @@ class PreferenceGuidedTrainer:
 
         logger.info("Stage 1: %d epochs x %d steps", num_epochs, len(self.train_loader))
         patience_counter = 0
-        for epoch in range(num_epochs):
+        start_epoch, skip_steps = self._resume_window(1, num_epochs)
+        for epoch in range(start_epoch, num_epochs):
             self.current_epoch = epoch
             state, epoch_metrics = self._run_epoch(
-                state, self.train_loader, train_step, rng, stage=1, epoch=epoch
+                state, self.train_loader, train_step, rng, stage=1, epoch=epoch,
+                skip_steps=skip_steps if epoch == start_epoch else 0,
             )
             val_loss = self._validate(
                 state.params, self.val_loader, eval_step, stage=1, epoch=epoch
@@ -361,11 +394,13 @@ class PreferenceGuidedTrainer:
 
         logger.info("Stage 2: %d epochs x %d steps", num_epochs, len(self.preference_train_loader))
         patience_counter = 0
-        for epoch in range(num_epochs):
+        start_epoch, skip_steps = self._resume_window(2, num_epochs)
+        for epoch in range(start_epoch, num_epochs):
             self.current_epoch = epoch
             state, epoch_metrics = self._run_epoch(
                 state, self.preference_train_loader, train_step, rng,
                 stage=2, epoch=epoch, ref_params=ref_params,
+                skip_steps=skip_steps if epoch == start_epoch else 0,
             )
             val_loss = self._validate(
                 state.params, self.preference_val_loader, eval_step,
@@ -414,16 +449,20 @@ class PreferenceGuidedTrainer:
             self._profile_started = False
             logger.info("Stopped jax.profiler trace")
 
-    def _run_epoch(self, state, loader, train_step, rng, stage, epoch, ref_params=None):
+    def _run_epoch(self, state, loader, train_step, rng, stage, epoch, ref_params=None, skip_steps=0):
         losses = []
         t0 = time.perf_counter()
         n_items = 0
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(epoch)  # deterministic per-epoch order for resume
         iterator = loader
         if tqdm is not None and jax.process_index() == 0:
             iterator = tqdm(loader, total=len(loader), desc=f"stage{stage} epoch {epoch}", leave=False)
         for step_idx, batch in enumerate(iterator):
             if self.max_steps_per_epoch is not None and step_idx >= self.max_steps_per_epoch:
                 break
+            if step_idx < skip_steps:
+                continue  # already consumed before the mid-epoch checkpoint
             self._maybe_profile()
             device_batch = self._device_batch(batch)
             n_items += device_batch["image"].shape[0]
@@ -432,6 +471,7 @@ class PreferenceGuidedTrainer:
             else:
                 state, metrics = train_step(state, ref_params, device_batch, rng, self._lora_base)
             self.global_step += 1
+            self._maybe_autosave(stage, epoch, step_idx, state)
             if self.global_step % self.logging_steps == 0:
                 host = {k: float(v) for k, v in metrics.items()}
                 self._log_metrics(host, self.global_step, prefix=f"stage{stage}/train")
@@ -482,6 +522,7 @@ class PreferenceGuidedTrainer:
             results["stage2"] = self.train_stage2()
         finally:
             self._finish_tracking()
+            self.checkpoints.wait()  # finalize any in-flight async autosave
         if bool(self.config.get("training.load_best_model_at_end", False)):
             self._load_best_at_end()
         elif self._lora_base is not None and self.model.lora is not None:
@@ -587,7 +628,16 @@ class PreferenceGuidedTrainer:
         meta = payload.get("meta", {})
         self.global_step = int(meta.get("global_step", 0) or 0)
         self.current_epoch = int(meta.get("epoch", 0) or 0)
-        logger.info("Restored checkpoint from %s (step %d)", path, self.global_step)
+        self._resume = {
+            "stage": int(meta.get("stage", 1) or 1),
+            "epoch": self.current_epoch,
+            "step_in_epoch": int(meta.get("step_in_epoch", 0) or 0),
+        }
+        logger.info(
+            "Restored checkpoint from %s (stage %s, epoch %d, step %d, step_in_epoch %d)",
+            path, self._resume["stage"], self.current_epoch, self.global_step,
+            self._resume["step_in_epoch"],
+        )
         return meta
 
     def _maybe_resume_opt_state(self, state: TrainState) -> TrainState:
@@ -596,13 +646,17 @@ class PreferenceGuidedTrainer:
             return state
         self._restored_opt_state = None  # consume once
         try:
-            fresh_leaves, fresh_def = jax.tree_util.tree_flatten(state.opt_state)
-            rest_leaves, rest_def = jax.tree_util.tree_flatten(restored)
-            if fresh_def != rest_def or len(fresh_leaves) != len(rest_leaves):
-                raise ValueError("optimizer state structure changed")
-            restored_typed = jax.tree_util.tree_unflatten(
-                fresh_def, [jnp.asarray(r) for r in rest_leaves]
-            )
+            import flax.serialization
+
+            # Rebuild the typed optax state (namedtuples etc.) from the
+            # canonical state-dict encoding against the fresh optimizer state;
+            # raises if shapes/structure genuinely changed.
+            restored_typed = flax.serialization.from_state_dict(state.opt_state, restored)
+            restored_typed = jax.tree.map(jnp.asarray, restored_typed)
+            fresh_shapes = jax.tree.map(lambda x: jnp.shape(x), state.opt_state)
+            rest_shapes = jax.tree.map(lambda x: jnp.shape(x), restored_typed)
+            if fresh_shapes != rest_shapes:
+                raise ValueError("optimizer state shapes changed")
             logger.info("Resumed optimizer state from checkpoint")
             return state.replace(
                 opt_state=restored_typed, step=jnp.asarray(self.global_step, jnp.int32)

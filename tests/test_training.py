@@ -306,3 +306,107 @@ class TestReviewRegressions:
         assert tiny_trainer._restored_opt_state is not None
         # next stage start consumes it without error
         tiny_trainer.train_stage1()
+
+
+class TestPreemptionRecovery:
+    """Async mid-epoch autosave + resume (VERDICT item 8)."""
+
+    def _make_trainer(self, tokenizer, tmp_path, save_steps):
+        from pgica_tpu.utils.config import Config
+
+        cfg = Config("configs/smoke.yaml")
+        cfg.set("training.stage1.num_epochs", 2)
+        cfg.set("training.save_steps", save_steps)
+        cfg.set("training.save_strategy", "steps")
+        cfg.set("training.load_best_model_at_end", False)
+        cfg.set("paths.checkpoint_dir", str(tmp_path / "ckpt"))
+        model = PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=PROJ,
+            tokenizer=tokenizer, max_caption_length=SEQ, image_size=IMG, seed=0,
+        )
+
+        class _Ds:
+            def __init__(self, n):
+                rng = np.random.default_rng(0)
+                self.images = rng.normal(size=(n, IMG, IMG, 3)).astype(np.float32)
+                ids, mask = tokenizer.encode_batch([f"cap {i}" for i in range(n)], SEQ)
+                self.ids, self.mask = ids, mask
+
+            def __len__(self):
+                return len(self.images)
+
+            def __getitem__(self, i):
+                return {
+                    "image": self.images[i], "caption_ids": self.ids[i],
+                    "caption_mask": self.mask[i], "raw_caption": "", "image_path": "",
+                }
+
+        loader = DataLoader(_Ds(16), batch_size=4, shuffle=True, seed=7)
+        return PreferenceGuidedTrainer(
+            model, cfg, train_loader=loader, val_loader=None,
+            output_dir=str(tmp_path / "out"),
+        ), cfg
+
+    def test_autosave_written_and_mid_epoch_resume(self, tokenizer, tmp_path):
+        trainer, cfg = self._make_trainer(tokenizer, tmp_path, save_steps=3)
+        trainer.train_stage1()  # 2 epochs x 4 steps = 8 steps; autosaves at 3, 6
+        trainer.checkpoints.wait()
+        auto = tmp_path / "ckpt" / "autosave_stage1"
+        assert auto.exists(), "autosave checkpoint missing"
+        payload = trainer.checkpoints.restore(auto)
+        meta = payload["meta"]
+        assert meta["global_step"] == 6 and meta["step_in_epoch"] == 2 and meta["epoch"] == 1
+
+        # Resume from the autosave: must restart INSIDE epoch 1 at step 2,
+        # running only the remaining 2 steps of epoch 1.
+        trainer2, _ = self._make_trainer(tokenizer, tmp_path, save_steps=0)
+        trainer2.load_checkpoint(auto)
+        assert trainer2.global_step == 6
+        trainer2.train_stage1()
+        assert trainer2.global_step == 8, "resume should complete exactly the remaining steps"
+        assert trainer2.current_epoch == 1
+
+    def test_epoch_checkpoint_resumes_next_epoch(self, tokenizer, tmp_path):
+        trainer, cfg = self._make_trainer(tokenizer, tmp_path, save_steps=0)
+        trainer.train_stage1()
+        ck = tmp_path / "ckpt" / "checkpoint_stage1_epoch0"
+        assert ck.exists()
+        trainer2, _ = self._make_trainer(tokenizer, tmp_path, save_steps=0)
+        trainer2.load_checkpoint(ck)
+        trainer2.train_stage1()  # should run only epoch 1 (4 steps)
+        assert trainer2.global_step == 4 + 4  # restored 4 + one epoch
+
+    def test_loader_set_epoch_reproduces_order(self, tokenizer):
+        from pgica_tpu.data.loader import DataLoader as DL
+
+        class _Tiny:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                return {"x": np.asarray([i], np.int64)}
+
+        a = DL(_Tiny(), batch_size=2, shuffle=True, seed=3, prefetch=0)
+        b = DL(_Tiny(), batch_size=2, shuffle=True, seed=3, prefetch=0)
+        a.set_epoch(5)
+        b.set_epoch(5)
+        order_a = [batch["x"].ravel().tolist() for batch in a]
+        order_b = [batch["x"].ravel().tolist() for batch in b]
+        assert order_a == order_b
+
+    def test_optimizer_state_actually_resumes(self, tokenizer, tmp_path, caplog):
+        """Regression: orbax flattens optax namedtuples to dicts; the resume
+        path must rebuild the typed state (Adam moments + schedule count), not
+        silently fall back to a fresh optimizer."""
+        import logging as _logging
+
+        trainer, _ = self._make_trainer(tokenizer, tmp_path, save_steps=3)
+        trainer.train_stage1()
+        trainer.checkpoints.wait()
+        trainer2, _ = self._make_trainer(tokenizer, tmp_path, save_steps=0)
+        trainer2.load_checkpoint(tmp_path / "ckpt" / "autosave_stage1")
+        with caplog.at_level(_logging.INFO, logger="pgica_tpu.training.trainer"):
+            trainer2.train_stage1()
+        messages = " ".join(r.message for r in caplog.records)
+        assert "Resumed optimizer state" in messages, messages
+        assert "starting fresh" not in messages
