@@ -13,6 +13,12 @@ Usage: python scripts/profile_stage1.py [--batch 64] [--steps 10]
 import argparse
 import json
 import os
+
+# Must precede ANY google.protobuf import (orbax/tensorstore pull it in):
+# the TB profile plugin ships pre-3.19 generated protos that only the
+# pure-Python implementation accepts.
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 import sys
 import time
 from pathlib import Path
@@ -75,15 +81,55 @@ def measure(step, state, batch, steps: int):
     return (time.time() - t0) / steps, state
 
 
-def op_table(trace_dir: Path, top: int = 20):
-    """Top self-time HLO ops from the captured xplane, via the TB plugin."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+def op_table(trace_dir: Path, top: int = 25):
+    """Top HLO ops by device time, aggregated straight from the xplane proto
+    ("XLA Ops" line of the TPU device plane)."""
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except Exception as e:
+        return None, f"xplane proto unavailable: {e}"
 
     xplanes = sorted(trace_dir.rglob("*.xplane.pb"))
     if not xplanes:
         return None, "no xplane found"
-    data, _ = rtd.xspace_to_tool_data([str(xplanes[-1])], "framework_op_stats", {})
-    return data, None
+    space = xplane_pb2.XSpace()
+    space.ParseFromString(xplanes[-1].read_bytes())
+    for plane in space.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        import re
+
+        meta = {m.id: m.name for m_id, m in plane.event_metadata.items() for m in [m]}
+
+        def signature(name: str) -> str:
+            # "%fusion.2239 = (f32[], bf16[4096,1024,1]{...}) fusion(...), ..."
+            # -> group per-layer clones of the same op by result-type + kind.
+            body = name.split(" = ", 1)[-1]
+            body = re.sub(r"\{[^}]*\}", "", body)  # drop layout annotations
+            m = re.match(r"(\([^)]*\)|[^ ]+) ([a-zA-Z0-9_\-]+)", body)
+            if not m:
+                return body[:70]
+            return f"{m.group(2)} {m.group(1)}"[:90]
+
+        totals = {}
+        counts = {}
+        total_ps = 0
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                key = signature(meta.get(ev.metadata_id, str(ev.metadata_id)))
+                totals[key] = totals.get(key, 0) + ev.duration_ps
+                counts[key] = counts.get(key, 0) + 1
+                total_ps += ev.duration_ps
+        if not totals:
+            continue
+        rows = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+        return [
+            (name, dur / 1e9, 100.0 * dur / max(total_ps, 1), counts[name])
+            for name, dur in rows
+        ], None
+    return None, "no TPU device plane with XLA Ops"
 
 
 def main():
@@ -91,7 +137,25 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--out", type=str, default="results")
+    ap.add_argument("--parse-only", action="store_true",
+                    help="regenerate the op table from an existing trace (no TPU run)")
     args = ap.parse_args()
+
+    if args.parse_only:
+        rows, err = op_table(Path(args.out) / "profile")
+        if rows is None:
+            print(err, file=sys.stderr)
+            return 1
+        report = Path(args.out) / "PROFILE.md"
+        lines = report.read_text().splitlines() if report.exists() else []
+        head = [l for l in lines if not l.startswith("|") and not l.startswith("## Top")]
+        head += ["## Top HLO ops by device time (3 traced steps, 'XLA Ops' plane line)", "",
+                 "| HLO op group (kind + result type) | device ms | % of op time | #events |",
+                 "|---|---|---|---|"]
+        head += [f"| `{n}` | {ms:.2f} | {pct:.1f}% | {cnt} |" for n, ms, pct, cnt in rows]
+        report.write_text("\n".join(head) + "\n")
+        print(f"op table refreshed in {report}")
+        return 0
 
     import jax
 
@@ -130,21 +194,7 @@ def main():
     tflops_per_sec = flops / sec_per_step / 1e12
     mfu = tflops_per_sec / V5E_BF16_PEAK_TFLOPS
 
-    table, err = op_table(trace_dir)
-    rows = []
-    if table is not None:
-        try:
-            parsed = json.loads(table)
-            # framework_op_stats tool: list of tables; find the op one
-            for t in parsed if isinstance(parsed, list) else [parsed]:
-                cols = [c.get("label", c.get("id", "")) for c in t.get("cols", [])]
-                if "Total self-time (us)" in " ".join(map(str, cols)) or t.get("rows"):
-                    for r in t.get("rows", [])[:40]:
-                        rows.append([c.get("v") for c in r.get("c", [])])
-                    header = cols
-                    break
-        except Exception as e:
-            err = f"parse failed: {e}"
+    rows, err = op_table(trace_dir)
 
     md = [
         "# Stage-1 per-op profile (real TPU, true vocab 50,262)",
@@ -156,12 +206,12 @@ def main():
         "",
     ]
     if rows:
-        md.append("## Top ops by self time")
+        md.append("## Top HLO ops by device time (3 traced steps, 'XLA Ops' plane line)")
         md.append("")
-        md.append("| " + " | ".join(str(h) for h in header) + " |")
-        md.append("|" + "---|" * len(header))
-        for r in rows[:25]:
-            md.append("| " + " | ".join(str(x) for x in r) + " |")
+        md.append("| HLO op group (kind + result type) | device ms | % of op time | #events |")
+        md.append("|---|---|---|---|")
+        for name, ms, pct, cnt in rows:
+            md.append(f"| `{name}` | {ms:.2f} | {pct:.1f}% | {cnt} |")
     else:
         md.append(f"(per-op table unavailable: {err})")
     (out_dir / "PROFILE.md").write_text("\n".join(md) + "\n")

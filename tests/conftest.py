@@ -207,3 +207,38 @@ def temp_preference_dataset(tmp_path, rng):
         )
     (root / "preferences.json").write_text(json.dumps(records))
     return root / "preferences.json"
+
+
+# ---------------------------------------------------------------------------
+# Fast gate: `pytest -m "not slow"` finishes in <5 min on one CPU core.
+# Tests below were measured >=8 s each (jit-compile heavy: full trainer loops,
+# 8-device mesh steps, end-to-end converters); the full suite runs them too,
+# just not in the quick gate. Re-measure with `pytest --durations=50`.
+# ---------------------------------------------------------------------------
+
+_SLOW_NODEIDS = (
+    "test_integration_learning.py",                    # 300-step overfit proofs
+    "test_training.py::TestTrainer",
+    "test_training.py::TestStage1Step",
+    "test_training.py::TestStage2Step",
+    "test_training.py::TestGradientAccumulation",
+    "test_training.py::TestReviewRegressions",
+    "test_training.py::TestPreemptionRecovery",
+    "test_training.py::TestOptim::test_frozen_params_unchanged_after_step",
+    "test_parallel.py::TestDCNAxis::test_stage1_and_stage2_step_on_dcn_mesh",
+    "test_parallel.py::TestScaledConfigShapes",
+    "test_parallel.py::TestShardedTraining",
+    "test_parallel.py::TestVocabParallelFusedCE::test_grads_with_padded_vocab",
+    "test_lora.py::test_lora_stage2_trains_adapters_only",
+    "test_lora.py::test_lora_gradient_flows_and_changes_output",
+    "test_convert.py::TestLoadPretrainedTowers::test_end_to_end_local_checkpoint_import",
+    "test_model.py::TestComposedModel::test_gradient_flow_contrastive",
+    "test_model.py::TestSharedTextTower",
+    "test_metrics.py::TestRunner::test_run_evaluation_end_to_end",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(frag in item.nodeid for frag in _SLOW_NODEIDS):
+            item.add_marker(pytest.mark.slow)

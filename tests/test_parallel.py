@@ -14,12 +14,12 @@ from pgica_tpu.parallel.sharding import infer_param_spec, make_param_shardings, 
 class TestMeshContext:
     def test_auto_data_axis(self):
         mesh = MeshContext(data=-1)
-        assert mesh.shape == {"data": 8, "fsdp": 1, "model": 1}
+        assert mesh.shape == {"dcn": 1, "data": 8, "fsdp": 1, "model": 1}
         assert mesh.num_devices == 8
 
     def test_tp_mesh(self):
         mesh = MeshContext(data=-1, model=2)
-        assert mesh.shape == {"data": 4, "fsdp": 1, "model": 2}
+        assert mesh.shape == {"dcn": 1, "data": 4, "fsdp": 1, "model": 2}
 
     def test_fsdp_mesh(self):
         mesh = MeshContext(data=2, fsdp=4, model=1)
@@ -33,7 +33,7 @@ class TestMeshContext:
         mesh = MeshContext(data=-1)
         batch = {"x": np.zeros((16, 4), np.float32)}
         sharded = mesh.shard_batch(batch)
-        assert sharded["x"].sharding.spec == P(("data", "fsdp"))
+        assert sharded["x"].sharding.spec == P(("dcn", "data", "fsdp"))
 
     def test_from_config(self, config):
         mesh = MeshContext.from_config(config)
