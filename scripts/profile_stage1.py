@@ -89,11 +89,16 @@ def op_table(trace_dir: Path, top: int = 25):
     except Exception as e:
         return None, f"xplane proto unavailable: {e}"
 
-    xplanes = sorted(trace_dir.rglob("*.xplane.pb"))
+    import gzip
+
+    xplanes = sorted(trace_dir.rglob("*.xplane.pb")) + sorted(trace_dir.rglob("*.xplane.pb.gz"))
     if not xplanes:
         return None, "no xplane found"
+    raw = xplanes[-1].read_bytes()
+    if xplanes[-1].suffix == ".gz":
+        raw = gzip.decompress(raw)
     space = xplane_pb2.XSpace()
-    space.ParseFromString(xplanes[-1].read_bytes())
+    space.ParseFromString(raw)
     for plane in space.planes:
         if not plane.name.startswith("/device:TPU"):
             continue
