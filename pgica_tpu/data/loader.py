@@ -343,12 +343,25 @@ def _collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
     return batch
 
 
+# Dataset handle inherited by forked worker processes (never pickled — the
+# fork snapshot carries it, so ctypes handles etc. inside tokenizers are fine).
+_FORK_DATASET = None
+
+
+def _fork_getitem(i):
+    return _FORK_DATASET[i]
+
+
 class DataLoader:
     """Minimal host-side batching iterator with background prefetch.
 
     Replaces torch DataLoader (reference loader.py:565-590). Prefetch uses a
     single daemon thread and a bounded queue (double buffering) so image
-    decode overlaps device compute.
+    decode overlaps device compute. Intra-batch item fetch can additionally
+    fan out over worker THREADS (PIL decode releases the GIL) or, for
+    GIL-bound work like tokenization at real-data scale, worker PROCESSES
+    (``workers_mode="process"``, fork-inherited dataset — no pickling of the
+    dataset object itself).
     """
 
     def __init__(
@@ -360,6 +373,7 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         num_workers: int = 0,
+        workers_mode: str = "thread",
         collate_fn: Callable = _collate,
     ):
         self.dataset = dataset
@@ -368,9 +382,10 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
-        # worker THREADS for item fetch (PIL decode releases the GIL);
+        # worker THREADS (default) or PROCESSES for item fetch;
         # 0 = fetch inline on the prefetch thread.
         self.num_workers = int(num_workers)
+        self.workers_mode = workers_mode
         self.collate_fn = collate_fn
         self._epoch = 0
 
@@ -393,7 +408,9 @@ class DataLoader:
         return batches
 
     def _fetch(self, idx: List[int]):
-        if self.num_workers > 1:
+        if self.num_workers > 1 and self.workers_mode == "process":
+            items = self._process_pool().map(_fork_getitem, idx)
+        elif self.num_workers > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             if not hasattr(self, "_pool"):
@@ -402,6 +419,24 @@ class DataLoader:
         else:
             items = [self.dataset[i] for i in idx]
         return self.collate_fn(items)
+
+    def _process_pool(self):
+        if not hasattr(self, "_ppool"):
+            import multiprocessing as mp
+
+            global _FORK_DATASET
+            _FORK_DATASET = self.dataset
+            self._ppool = mp.get_context("fork").Pool(self.num_workers)
+        return self._ppool
+
+    def close(self):
+        """Release worker pools (processes hold the fork snapshot)."""
+        if hasattr(self, "_ppool"):
+            self._ppool.terminate()
+            del self._ppool
+        if hasattr(self, "_pool"):
+            self._pool.shutdown(wait=False)
+            del self._pool
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the shuffle epoch (torch DistributedSampler convention) so a
@@ -448,6 +483,7 @@ def create_dataloaders(
     seed: int = 42,
     max_samples: Optional[int] = None,
     num_workers: int = 0,
+    workers_mode: str = "thread",
     **dataset_kwargs,
 ) -> Tuple[DataLoader, DataLoader, DataLoader]:
     """Seeded 3-way split into train/val/test loaders (reference loader.py:500-597).
@@ -478,8 +514,8 @@ def create_dataloaders(
     }
     train_loader = DataLoader(
         views["train"], batch_size, shuffle=True, drop_last=True, seed=seed,
-        num_workers=num_workers,
+        num_workers=num_workers, workers_mode=workers_mode,
     )
-    val_loader = DataLoader(views["val"], batch_size, num_workers=num_workers)
-    test_loader = DataLoader(views["test"], batch_size, num_workers=num_workers)
+    val_loader = DataLoader(views["val"], batch_size, num_workers=num_workers, workers_mode=workers_mode)
+    test_loader = DataLoader(views["test"], batch_size, num_workers=num_workers, workers_mode=workers_mode)
     return train_loader, val_loader, test_loader

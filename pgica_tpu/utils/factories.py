@@ -300,6 +300,7 @@ def create_loaders_with_fallback(
             test_split=config.get("data.test_split", 0.1),
             seed=seed,
             num_workers=config.get("data.num_workers", 0),
+            workers_mode=config.get("data.workers_mode", "thread"),
         )
 
     logger.warning("Data path %s not found; using in-memory dummy %s data", data_path, kind)

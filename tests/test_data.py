@@ -397,3 +397,23 @@ class TestDatasetTrainedBPE:
         # second call loads from cache (same ids)
         tok2 = create_tokenizer(cfg)
         assert tok2.encode("two dogs playing") == tok.encode("two dogs playing")
+
+
+class TestWorkerModes:
+    """Intra-batch fetch fan-out: thread and process (fork) modes must agree."""
+
+    def test_process_mode_matches_inline(self, temp_dataset_dir):
+        from pgica_tpu.data.loader import ConceptualCaptionsDataset, DataLoader
+        from pgica_tpu.data.preprocessing import ImageProcessor, TextProcessor
+
+        ds = ConceptualCaptionsDataset(
+            temp_dataset_dir, ImageProcessor(image_size=32), TextProcessor(max_length=16)
+        )
+        inline = DataLoader(ds, batch_size=4)
+        proc = DataLoader(ds, batch_size=4, num_workers=2, workers_mode="process")
+        try:
+            for a, b in zip(inline, proc):
+                np.testing.assert_array_equal(a["image"], b["image"])
+                np.testing.assert_array_equal(a["caption_ids"], b["caption_ids"])
+        finally:
+            proc.close()
