@@ -323,6 +323,25 @@ class PreferenceGuidedCaptioningModel:
         mask = jnp.ones_like(jnp.asarray(caption_ids)) if caption_mask is None else jnp.asarray(caption_mask)
         return self._jit_similarity(self.params, jnp.asarray(images), jnp.asarray(caption_ids), mask)
 
+    def _inference_params(self):
+        """Params pre-cast to the compute dtype for decode.
+
+        Training keeps fp32 masters (precision policy, core/precision.py);
+        autoregressive decode is weight-bandwidth-bound at one token per
+        step, so reading fp32 masters doubles HBM traffic per step. Cast once
+        per params object and cache.
+        """
+        if self.module.dtype == jnp.float32:
+            return self.params
+        cached = getattr(self, "_inference_params_cache", None)
+        if cached is not None and cached[0] is self.params:
+            return cached[1]
+        from pgica_tpu.core.precision import cast_floating
+
+        cast = cast_floating(self.params, self.module.dtype)
+        self._inference_params_cache = (self.params, cast)
+        return cast
+
     def generate_captions(
         self,
         images,
@@ -342,16 +361,17 @@ class PreferenceGuidedCaptioningModel:
         """
         from pgica_tpu.generation.decode import generate
 
+        params = self._inference_params()
         images = jnp.asarray(images)
         t0 = time.perf_counter()
-        vision = self._jit_encode_image(self.params, images)
+        vision = self._jit_encode_image(params, images)
         vision["embeddings"].block_until_ready()
         t_encode = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         token_ids = generate(
             self.module,
-            self.params,
+            params,
             vision["embeddings"],
             bos_token_id=self.tokenizer.bos_token_id,
             eos_token_id=self.tokenizer.eos_token_id,

@@ -160,6 +160,25 @@ class CheckpointManager:
         payload["meta"] = meta
         return payload
 
+    def prune_epochs(self, stage: int, keep: int) -> None:
+        """Delete all but the newest ``keep`` per-epoch checkpoints for a
+        stage (best/autosave untouched). At flagship scale an epoch save is
+        ~10 GB (fp32 params + Adam moments); unbounded retention is a disk
+        blowup (``training.keep_checkpoints``; unset keeps everything,
+        reference behavior)."""
+        import shutil
+
+        cands = sorted(
+            self.checkpoint_dir.glob(f"checkpoint_stage{stage}_epoch*"),
+            key=lambda p: int(p.name.rsplit("epoch", 1)[1]),
+        )
+        for path in cands[: max(0, len(cands) - keep)]:
+            shutil.rmtree(path, ignore_errors=True)
+            side = path.parent / f"{path.name}.meta.json"
+            if side.exists():
+                side.unlink()
+            logger.info("Pruned old checkpoint %s", path)
+
     def latest(self, stage: Optional[int] = None) -> Optional[Path]:
         pattern = f"checkpoint_stage{stage or '*'}_epoch*"
         candidates = sorted(

@@ -99,6 +99,8 @@ class PreferenceGuidedTrainer:
         # when training.save_strategy == "steps" (reference schema key).
         strategy = str(config.get("training.save_strategy", "steps")).lower()
         self.save_steps = int(config.get("training.save_steps", 0) or 0) if strategy == "steps" else 0
+        # Retain only the newest K per-epoch checkpoints (None = keep all).
+        self.keep_checkpoints = config.get("training.keep_checkpoints")
         self._resume: Optional[Dict[str, int]] = None  # stage/epoch/step_in_epoch
         self.seed = config.get("training.seed", 42)
         self.history: Dict[str, List] = {"stage1": [], "stage2": []}
@@ -309,6 +311,8 @@ class PreferenceGuidedTrainer:
                 global_step=self.global_step, val_loss=val_loss,
                 config=self.config.to_dict(), **self._ckpt_payload(state),
             )
+            if self.keep_checkpoints:
+                self.checkpoints.prune_epochs(1, int(self.keep_checkpoints))
             if val_loss is not None:
                 patience_counter = self._check_early_stopping(1, val_loss, patience_counter)
                 if val_loss < self.best_val_loss[1]:
@@ -415,6 +419,8 @@ class PreferenceGuidedTrainer:
                 global_step=self.global_step, val_loss=val_loss,
                 config=self.config.to_dict(), **self._ckpt_payload(state),
             )
+            if self.keep_checkpoints:
+                self.checkpoints.prune_epochs(2, int(self.keep_checkpoints))
             if val_loss is not None:
                 patience_counter = self._check_early_stopping(2, val_loss, patience_counter)
                 if val_loss < self.best_val_loss[2]:

@@ -212,14 +212,41 @@ def _dummy_caption(rng: np.random.Generator) -> str:
     return " ".join(rng.choice(part) for part in _DUMMY_CAPTION_PARTS)
 
 
+def _caption_image(caption: str, size: int, rng: np.random.Generator) -> np.ndarray:
+    """Render a caption-CONDITIONED synthetic image.
+
+    Each word deterministically paints a colored block (hash -> color +
+    position), so image content is a compositional function of the caption
+    and the contrastive image<->text task is genuinely learnable — with pure
+    noise images (round-1 behavior) NT-Xent is unlearnable memorization and
+    smoke/learning-curve runs sit at ln(B) forever.
+    """
+    import hashlib
+
+    img = 0.35 * rng.normal(0, 1, (size, size, 3)).astype(np.float32)
+    block = max(size // 6, 4)
+    for word in caption.split():
+        h = int(hashlib.sha1(word.encode()).hexdigest()[:12], 16)
+        color = np.array([(h >> 8) & 255, (h >> 16) & 255, (h >> 24) & 255], np.float32)
+        color = (color / 127.5) - 1.0  # [-1, 1]
+        x = h % max(size - block, 1)
+        y = (h >> 5) % max(size - block, 1)
+        img[y : y + block, x : x + block] += 2.0 * color
+    return img
+
+
 class DummyConceptualDataset:
-    """In-memory synthetic (image, caption) data (reference train.py:194-250)."""
+    """In-memory synthetic (image, caption) data (reference train.py:194-250).
+
+    Images are rendered FROM the captions (see _caption_image) so contrastive
+    training on the fallback data actually converges.
+    """
 
     def __init__(self, image_processor, text_processor, num_samples: int = 64, seed: int = 0):
         rng = np.random.default_rng(seed)
         size = image_processor.image_size
-        self.images = rng.normal(0, 1, (num_samples, size, size, 3)).astype(np.float32)
         self.captions = [_dummy_caption(rng) for _ in range(num_samples)]
+        self.images = np.stack([_caption_image(c, size, rng) for c in self.captions])
         self.text_processor = text_processor
 
     def __len__(self):
@@ -242,9 +269,10 @@ class DummyPreferenceDataset:
     def __init__(self, image_processor, text_processor, num_samples: int = 64, seed: int = 0):
         rng = np.random.default_rng(seed)
         size = image_processor.image_size
-        self.images = rng.normal(0, 1, (num_samples, size, size, 3)).astype(np.float32)
         self.preferred = [_dummy_caption(rng) for _ in range(num_samples)]
         self.rejected = [" ".join(_dummy_caption(rng).split()[:2]) for _ in range(num_samples)]
+        # image matches the PREFERRED caption (the DPO-favored description)
+        self.images = np.stack([_caption_image(c, size, rng) for c in self.preferred])
         self.text_processor = text_processor
 
     def __len__(self):
