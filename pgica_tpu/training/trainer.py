@@ -101,6 +101,11 @@ class PreferenceGuidedTrainer:
         self.save_steps = int(config.get("training.save_steps", 0) or 0) if strategy == "steps" else 0
         # Retain only the newest K per-epoch checkpoints (None = keep all).
         self.keep_checkpoints = config.get("training.keep_checkpoints")
+        # Per-epoch checkpoint writes can dominate wall-clock at flagship
+        # scale on slow hosts (~10 GB each); best-model + autosave still
+        # cover recovery when this is off.
+        self.save_epoch_checkpoints = bool(config.get("training.save_epoch_checkpoints", True))
+        self.save_best_checkpoints = bool(config.get("training.save_best_checkpoints", True))
         self._resume: Optional[Dict[str, int]] = None  # stage/epoch/step_in_epoch
         self.seed = config.get("training.seed", 42)
         self.history: Dict[str, List] = {"stage1": [], "stage2": []}
@@ -306,22 +311,24 @@ class PreferenceGuidedTrainer:
             self.history["stage1"].append(record)
 
             self._sync_model(state)
-            self.checkpoints.save_epoch(
-                1, epoch, opt_state=state.opt_state,
-                global_step=self.global_step, val_loss=val_loss,
-                config=self.config.to_dict(), **self._ckpt_payload(state),
-            )
-            if self.keep_checkpoints:
-                self.checkpoints.prune_epochs(1, int(self.keep_checkpoints))
+            if self.save_epoch_checkpoints:
+                self.checkpoints.save_epoch(
+                    1, epoch, opt_state=state.opt_state,
+                    global_step=self.global_step, val_loss=val_loss,
+                    config=self.config.to_dict(), **self._ckpt_payload(state),
+                )
+                if self.keep_checkpoints:
+                    self.checkpoints.prune_epochs(1, int(self.keep_checkpoints))
             if val_loss is not None:
                 patience_counter = self._check_early_stopping(1, val_loss, patience_counter)
                 if val_loss < self.best_val_loss[1]:
                     self.best_val_loss[1] = val_loss
-                    self.checkpoints.save_best(
-                        1, epoch=epoch,
-                        global_step=self.global_step, val_loss=val_loss,
-                        config=self.config.to_dict(), **self._ckpt_payload(state),
-                    )
+                    if self.save_best_checkpoints:
+                        self.checkpoints.save_best(
+                            1, epoch=epoch,
+                            global_step=self.global_step, val_loss=val_loss,
+                            config=self.config.to_dict(), **self._ckpt_payload(state),
+                        )
                 if patience_counter >= self.early_stopping_patience:
                     logger.info("Stage 1 early stopping at epoch %d", epoch)
                     break
@@ -414,22 +421,24 @@ class PreferenceGuidedTrainer:
             self.history["stage2"].append(record)
 
             self._sync_model(state)
-            self.checkpoints.save_epoch(
-                2, epoch, opt_state=state.opt_state,
-                global_step=self.global_step, val_loss=val_loss,
-                config=self.config.to_dict(), **self._ckpt_payload(state),
-            )
-            if self.keep_checkpoints:
-                self.checkpoints.prune_epochs(2, int(self.keep_checkpoints))
+            if self.save_epoch_checkpoints:
+                self.checkpoints.save_epoch(
+                    2, epoch, opt_state=state.opt_state,
+                    global_step=self.global_step, val_loss=val_loss,
+                    config=self.config.to_dict(), **self._ckpt_payload(state),
+                )
+                if self.keep_checkpoints:
+                    self.checkpoints.prune_epochs(2, int(self.keep_checkpoints))
             if val_loss is not None:
                 patience_counter = self._check_early_stopping(2, val_loss, patience_counter)
                 if val_loss < self.best_val_loss[2]:
                     self.best_val_loss[2] = val_loss
-                    self.checkpoints.save_best(
-                        2, epoch=epoch,
-                        global_step=self.global_step, val_loss=val_loss,
-                        config=self.config.to_dict(), **self._ckpt_payload(state),
-                    )
+                    if self.save_best_checkpoints:
+                        self.checkpoints.save_best(
+                            2, epoch=epoch,
+                            global_step=self.global_step, val_loss=val_loss,
+                            config=self.config.to_dict(), **self._ckpt_payload(state),
+                        )
                 if patience_counter >= self.early_stopping_patience:
                     logger.info("Stage 2 early stopping at epoch %d", epoch)
                     break
