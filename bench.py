@@ -50,7 +50,6 @@ def run_bench(batch_size: int, steps: int = 10, warmup: int = 2) -> float:
     import jax.numpy as jnp
     import numpy as np
 
-    from pgica_tpu.data.tokenizer import CaptionTokenizer
     from pgica_tpu.models.model import build_module
     from pgica_tpu.training.optim import create_optimizer
     from pgica_tpu.training.train_step import TrainState, make_stage1_train_step
@@ -110,13 +109,13 @@ def run_bench(batch_size: int, steps: int = 10, warmup: int = 2) -> float:
     return pairs_per_sec
 
 
-def run_stage2_bench(batch_size: int = 16, steps: int = 5, warmup: int = 2) -> float:
-    """DPO pairs/sec: policy+reference logprobs fused in one jitted step."""
+def run_stage2_bench(batch_size: int = 32, steps: int = 5, warmup: int = 2) -> float:
+    """DPO pairs/sec: policy + frozen bf16 reference logprobs, one jitted step."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from pgica_tpu.data.tokenizer import CaptionTokenizer
+    from pgica_tpu.core.precision import cast_floating
     from pgica_tpu.models.model import build_module
     from pgica_tpu.training.optim import create_optimizer
     from pgica_tpu.training.train_step import TrainState, make_stage2_train_step
@@ -134,7 +133,8 @@ def run_stage2_bench(batch_size: int = 16, steps: int = 5, warmup: int = 2) -> f
     params = module.init(
         jax.random.PRNGKey(0), images[:1], ids[:1], mask[:1], mode="dual"
     )["params"]
-    ref_params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+    # bf16 frozen reference (trainer default): halves its HBM, enabling bs 32
+    ref_params = cast_floating(jax.tree.map(lambda x: jnp.array(x, copy=True), params), jnp.bfloat16)
     opt = create_optimizer(1e-5, total_steps=1000, warmup_steps=10)
     state = TrainState.create(params, opt)
     step = jax.jit(make_stage2_train_step(module, opt, beta=0.1, augment=True), donate_argnums=(0,))
@@ -192,14 +192,21 @@ def main():
     ap.add_argument("--mode", default="stage1", choices=["stage1", "stage2", "eval"])
     args, _ = ap.parse_known_args()
     if args.mode == "stage2":
-        v = run_stage2_bench()
+        v = None
+        for bs in (32, 16):
+            try:
+                v = run_stage2_bench(batch_size=bs)
+                break
+            except Exception as e:
+                print(f"stage2 batch {bs} failed ({type(e).__name__}); retrying smaller", file=sys.stderr)
+        assert v is not None
         print(json.dumps({"metric": "stage2 DPO pairs/sec/chip (vocab 50262)", "value": round(v, 2), "unit": "pairs/s/chip", "vs_baseline": None}))
         return 0
     if args.mode == "eval":
         v = run_eval_bench()
         print(json.dumps({"metric": "eval captions/sec/chip (vocab 50262)", "value": round(v, 2), "unit": "captions/s/chip", "vs_baseline": None}))
         return 0
-    batch_sizes = [64, 32, 16, 8]
+    batch_sizes = [128, 64, 32, 16, 8]
     value = None
     for bs in batch_sizes:
         try:
@@ -221,7 +228,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "stage1 pairs/sec/chip (ViT-B/32 + GPT-2 Medium 867M, vocab 50262)",
+                "metric": "stage1 pairs/sec/chip (ViT-B/32 + GPT-2 Medium, vocab 50262)",
                 "value": round(per_chip, 2),
                 "unit": "pairs/s/chip",
                 "vs_baseline": round(per_chip / BASELINE_PAIRS_PER_SEC, 2),
