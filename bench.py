@@ -157,7 +157,7 @@ def run_stage2_bench(batch_size: int = 32, steps: int = 5, warmup: int = 2) -> f
     return pps
 
 
-def run_eval_bench(batch_size: int = 16, max_length: int = 64) -> float:
+def run_eval_bench(batch_size: int = 32, max_length: int = 64) -> float:
     """Greedy caption decode throughput (captions/sec)."""
     import jax
     import numpy as np
