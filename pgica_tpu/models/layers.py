@@ -60,6 +60,11 @@ class MultiHeadAttention(nn.Module):
     use_bias: bool = True
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    # Context parallelism: mesh axis the SEQUENCE dim is sharded over. The
+    # module must then run inside shard_map with sequence-sharded activations;
+    # self-attention dispatches to ops/ring_attention (KV blocks rotate over
+    # ICI). Decode (cache) and cross-attention paths are unaffected.
+    ring_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -96,9 +101,13 @@ class MultiHeadAttention(nn.Module):
         # (B, S, H, D) -> (B, H, S, D)
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
 
+        ring = self.ring_axis is not None and cache is None and kv is None
         if self.use_rope:
             sq = x.shape[1]
-            if position is None:
+            if ring:
+                # global positions: this shard owns [idx*sq, (idx+1)*sq)
+                pos_q = jax.lax.axis_index(self.ring_axis) * sq + jnp.arange(sq)
+            elif position is None:
                 pos_q = jnp.arange(sq)
             else:
                 pos_q = jnp.atleast_1d(position) if position.ndim == 0 else position
@@ -122,7 +131,17 @@ class MultiHeadAttention(nn.Module):
             v = jnp.repeat(v, rep, axis=1)
 
         causal = self.causal and cache is None  # decode masking handled via `mask`
-        out = dot_product_attention(q, k, v, mask=mask, causal=causal, impl=self.attn_impl)
+        if ring:
+            from pgica_tpu.ops.ring_attention import NEG_INF, ring_attention
+
+            kv_bias = None
+            if mask is not None:
+                # (B, 1, 1, S_local) key-padding mask -> additive key bias
+                keep = mask[:, 0, 0, :].astype(bool)
+                kv_bias = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)
+            out = ring_attention(q, k, v, self.ring_axis, causal=causal, kv_bias=kv_bias)
+        else:
+            out = dot_product_attention(q, k, v, mask=mask, causal=causal, impl=self.attn_impl)
         out = out.transpose(0, 2, 1, 3)  # (B, Sq, H, D)
         out = nn.DenseGeneral(
             features=self.hidden_size, axis=(-2, -1), dtype=self.dtype,
@@ -180,6 +199,7 @@ class TransformerBlock(nn.Module):
     use_bias: bool = True
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    ring_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -202,6 +222,7 @@ class TransformerBlock(nn.Module):
             use_bias=self.use_bias,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            ring_axis=self.ring_axis,
             name="attn",
         )(h, mask=mask, cache=cache, position=position, deterministic=deterministic)
         x = x + attn_out

@@ -40,6 +40,10 @@ class TransformerLM(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    # Context parallelism (run inside shard_map with the sequence dim sharded
+    # over this axis): self-attention goes through ops/ring_attention and
+    # GPT-2's learned positions use each shard's GLOBAL offsets.
+    ring_axis: Optional[str] = None
 
     def setup(self):
         cfg = self.config
@@ -72,6 +76,7 @@ class TransformerLM(nn.Module):
                 rope_theta=cfg.rope_theta,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                ring_axis=self.ring_axis,
                 name=f"block_{i}",
             )
             for i in range(cfg.num_layers)
@@ -117,7 +122,10 @@ class TransformerLM(nn.Module):
                 raise ValueError("Provide input_ids or inputs_embeds")
             x = self.wte(input_ids)
             if cfg.arch == "gpt2":
-                pos_ids = jnp.arange(input_ids.shape[1]) + (0 if position is None else position)
+                offset = 0 if position is None else position
+                if self.ring_axis is not None and caches is None:
+                    offset = jax.lax.axis_index(self.ring_axis) * input_ids.shape[1]
+                pos_ids = jnp.arange(input_ids.shape[1]) + offset
                 x = x + self.wpe(pos_ids)[None]
         else:
             x = inputs_embeds.astype(self.dtype)

@@ -51,18 +51,27 @@ def ring_attention(
     v: jax.Array,
     axis_name: str,
     causal: bool = False,
+    kv_bias: jax.Array | None = None,
 ) -> jax.Array:
-    """(B, H, S_local, D) q/k/v shards -> (B, H, S_local, D) output shard."""
+    """(B, H, S_local, D) q/k/v shards -> (B, H, S_local, D) output shard.
+
+    ``kv_bias``: optional (B, S_local) additive bias for this shard's keys
+    (e.g. NEG_INF on padding positions); it rotates around the ring with its
+    KV block.
+    """
     n = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
     b, h, s_loc, d = q.shape
     scale = 1.0 / (d**0.5)
     perm = [(i, (i + 1) % n) for i in range(n)]  # pass KV to the next shard
+    if kv_bias is None:
+        kv_bias = jnp.zeros((b, s_loc), jnp.float32)
 
     def fold(carry, _step_kv):
         acc, m_prev, l_prev, kv_blk, src = carry
-        k_blk, v_blk = kv_blk
+        k_blk, v_blk, bias_blk = kv_blk
         s = _block_scores(q, k_blk, scale)  # (B,H,Sq,Sk)
+        s = s + bias_blk[:, None, None, :].astype(jnp.float32)
         if causal:
             # Block relation: src < my -> fully visible; src == my -> causal
             # diagonal; src > my -> masked entirely.
@@ -81,16 +90,17 @@ def ring_attention(
         acc = acc * alpha[..., None] + jax.lax.dot_general(
             p, v_blk.astype(jnp.float32), (((3,), (2,)), ((0, 1), (0, 1)))
         )
-        # rotate KV around the ring; track the block's shard of origin
+        # rotate KV (+ key bias) around the ring; track the shard of origin
         k_nxt = jax.lax.ppermute(k_blk, axis_name, perm)
         v_nxt = jax.lax.ppermute(v_blk, axis_name, perm)
+        bias_nxt = jax.lax.ppermute(bias_blk, axis_name, perm)
         src_nxt = jax.lax.ppermute(src, axis_name, perm)
-        return (acc, m_new, l_new, (k_nxt, v_nxt), src_nxt), None
+        return (acc, m_new, l_new, (k_nxt, v_nxt, bias_nxt), src_nxt), None
 
     acc0 = jnp.zeros((b, h, s_loc, d), jnp.float32)
     m0 = jnp.full((b, h, s_loc), NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, h, s_loc), jnp.float32)
-    carry = (acc0, m0, l0, (k, v), my)
+    carry = (acc0, m0, l0, (k, v, kv_bias), my)
     (acc, m, l, _, _), _ = jax.lax.scan(fold, carry, None, length=n)
     l_safe = jnp.where(l == 0.0, 1.0, l)
     return (acc / l_safe[..., None]).astype(q.dtype)
