@@ -14,6 +14,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include "unicode_classes.h"
+
 namespace {
 
 // GPT-2's reversible byte -> unicode codepoint map.
@@ -117,17 +119,41 @@ struct BPE {
 
 enum CharClass { kSpace, kAlpha, kDigit, kOther };
 
-CharClass classify(unsigned char c) {
-    if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\v') return kSpace;
-    if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c >= 0x80) return kAlpha;
-    if (c >= '0' && c <= '9') return kDigit;
+// Decode one UTF-8 codepoint starting at text[i]; writes its byte length.
+// Invalid sequences decode as the single byte (classified kOther).
+uint32_t decode_cp(const char* text, size_t n, size_t i, size_t* len) {
+    const unsigned char c0 = static_cast<unsigned char>(text[i]);
+    *len = 1;
+    if (c0 < 0x80) return c0;
+    int extra;
+    uint32_t cp;
+    if ((c0 & 0xE0) == 0xC0) { extra = 1; cp = c0 & 0x1F; }
+    else if ((c0 & 0xF0) == 0xE0) { extra = 2; cp = c0 & 0x0F; }
+    else if ((c0 & 0xF8) == 0xF0) { extra = 3; cp = c0 & 0x07; }
+    else return 0xFFFD;
+    if (i + extra >= n) return 0xFFFD;  // truncated sequence
+    for (int k = 1; k <= extra; ++k) {
+        const unsigned char cc = static_cast<unsigned char>(text[i + k]);
+        if ((cc & 0xC0) != 0x80) return 0xFFFD;
+        cp = (cp << 6) | (cc & 0x3F);
+    }
+    *len = extra + 1;
+    return cp;
+}
+
+// Exact GPT-2 character classes via the generated Unicode tables
+// (native/unicode_classes.h), matching the Python pretokenizer's expanded
+// \p{L}/\p{N}/\s classes codepoint for codepoint.
+CharClass classify_cp(uint32_t cp) {
+    if (uniclass::in_ranges(cp, uniclass::kSpaces, uniclass::kSpacesCount)) return kSpace;
+    if (uniclass::in_ranges(cp, uniclass::kLetters, uniclass::kLettersCount)) return kAlpha;
+    if (uniclass::in_ranges(cp, uniclass::kNumbers, uniclass::kNumbersCount)) return kDigit;
     return kOther;
 }
 
-// Pretokenizer matching tokenizer.py::_PRETOKEN_RE — GPT-2's pattern with
-// every byte >= 0x80 classified as a letter (consistent with the Python
-// path's "all non-ASCII codepoints are letters" approximation):
-//   's|'t|'re|'ve|'m|'ll|'d | ?letters+ | ?digits+ | ?punct+ |\s+(?!\S)|\s+
+// Pretokenizer matching tokenizer.py::_PRETOKEN_RE exactly:
+//   's|'t|'re|'ve|'m|'ll|'d | ?\p{L}+ | ?\p{N}+ | ?[^\s\p{L}\p{N}]+
+//   | \s+(?!\S) | \s+
 std::vector<std::string> pretokenize(const char* text) {
     std::vector<std::string> out;
     const size_t n = std::strlen(text);
@@ -148,14 +174,19 @@ std::vector<std::string> pretokenize(const char* text) {
             }
             if (matched) continue;
         }
-        // 2. optional single leading space + letter/digit/punct run
+        // 2. optional single leading ASCII space + letter/number/punct run
         size_t j = i;
         if (text[j] == ' ') j++;
         if (j < n) {
-            const CharClass cls = classify(static_cast<unsigned char>(text[j]));
+            size_t cl = 0;
+            const CharClass cls = classify_cp(decode_cp(text, n, j, &cl));
             if (cls != kSpace) {
-                size_t k = j + 1;
-                while (k < n && classify(static_cast<unsigned char>(text[k])) == cls) k++;
+                size_t k = j + cl;
+                while (k < n) {
+                    size_t cl2 = 0;
+                    if (classify_cp(decode_cp(text, n, k, &cl2)) != cls) break;
+                    k += cl2;
+                }
                 out.emplace_back(text + i, k - i);
                 i = k;
                 continue;
@@ -164,13 +195,19 @@ std::vector<std::string> pretokenize(const char* text) {
         // 3. whitespace runs: \s+(?!\S) leaves the final whitespace char to
         // prefix the next token (or \s+ consumes a trailing run entirely)
         size_t k = i;
-        while (k < n && classify(static_cast<unsigned char>(text[k])) == kSpace) k++;
-        if (k == n || k - i == 1) {
+        size_t last_start = i;
+        while (k < n) {
+            size_t cl = 0;
+            if (classify_cp(decode_cp(text, n, k, &cl)) != kSpace) break;
+            last_start = k;
+            k += cl;
+        }
+        if (k == n || last_start == i) {
             out.emplace_back(text + i, k - i);
             i = k;
         } else {
-            out.emplace_back(text + i, k - i - 1);
-            i = k - 1;
+            out.emplace_back(text + i, last_start - i);
+            i = last_start;
         }
     }
     return out;

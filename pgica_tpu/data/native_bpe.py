@@ -19,6 +19,7 @@ from typing import List, Optional, Sequence, Tuple
 logger = logging.getLogger(__name__)
 
 _SOURCE = Path(__file__).resolve().parents[2] / "native" / "bpe.cpp"
+_HEADER = _SOURCE.parent / "unicode_classes.h"
 _CACHE_DIR = Path(os.environ.get("PGICA_CACHE_DIR", Path.home() / ".cache" / "pgica_tpu"))
 _LIB_PATH = _CACHE_DIR / "libbpe.so"
 
@@ -44,11 +45,10 @@ def get_library() -> Optional[ctypes.CDLL]:
     if _lib is not None or _load_attempted:
         return _lib
     _load_attempted = True
-    stale = (
-        _LIB_PATH.exists()
-        and _SOURCE.exists()
-        and _SOURCE.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    newest_src = max(
+        (f.stat().st_mtime for f in (_SOURCE, _HEADER) if f.exists()), default=0.0
     )
+    stale = _LIB_PATH.exists() and newest_src > _LIB_PATH.stat().st_mtime
     path = _LIB_PATH if _LIB_PATH.exists() and not stale else _build_library()
     if path is None:
         return None

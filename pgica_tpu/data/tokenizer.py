@@ -54,28 +54,40 @@ _BYTE_DECODER = {v: k for k, v in _BYTE_ENCODER.items()}
 
 import re
 
-# GPT-2's pretokenizer pattern, with \p{L}/\p{N} approximated as
-# "ASCII letters + all codepoints >= U+0080" / ASCII digits. The non-ASCII
-# approximation keeps the Python path byte-class-consistent with the C++
-# encoder (native/bpe.cpp), which classifies bytes >= 0x80 as letters.
+from pgica_tpu.data._unicode_classes import LETTER_RANGES, NUMBER_RANGES
+
+
+def _char_class(ranges) -> str:
+    parts = []
+    for a, b in ranges:
+        if b > a:
+            parts.append(f"{re.escape(chr(a))}-{re.escape(chr(b))}")
+        else:
+            parts.append(re.escape(chr(a)))
+    return "".join(parts)
+
+
+_L = _char_class(LETTER_RANGES)
+_N = _char_class(NUMBER_RANGES)
+
+# GPT-2's exact pretokenizer pattern with \p{L}/\p{N} expanded from the
+# generated Unicode tables (scripts/gen_unicode_tables.py) — token-identical
+# with real GPT-2 vocab/merges artifacts for ALL text, not just ASCII. The
+# C++ encoder (native/bpe.cpp + native/unicode_classes.h) classifies decoded
+# codepoints against the same ranges; parity enforced by tests/test_native_bpe.
 _PRETOKEN_RE = re.compile(
     r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[A-Za-z\u0080-\U0010FFFF]+"
-    r"| ?[0-9]+"
-    r"| ?[^\sA-Za-z0-9\u0080-\U0010FFFF]+"
+    rf"| ?[{_L}]+"
+    rf"| ?[{_N}]+"
+    rf"| ?[^\s{_L}{_N}]+"
     r"|\s+(?!\S)|\s+"
 )
 
 
 def _pretokenize(text: str) -> List[str]:
     """GPT-2-style pretokenization: contractions, leading-space word/digit/
-    punct runs, and GPT-2's whitespace-run rules.
-
-    Matches GPT-2's regex except that every non-ASCII codepoint counts as a
-    letter (see _PRETOKEN_RE note) — so loading real GPT-2 vocab/merges
-    artifacts is token-identical for ASCII text; within this framework the
-    tokenizer is self-consistent (encode/decode round-trips exactly).
-    """
+    punct runs, and GPT-2's whitespace-run rules — exact \\p{L}/\\p{N}
+    semantics (see _PRETOKEN_RE)."""
     return _PRETOKEN_RE.findall(text)
 
 

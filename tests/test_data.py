@@ -417,3 +417,30 @@ class TestWorkerModes:
                 np.testing.assert_array_equal(a["caption_ids"], b["caption_ids"])
         finally:
             proc.close()
+
+
+class TestExactUnicodePretokenizer:
+    """GPT-2 \\p{L}/\\p{N} classes are exact (generated Unicode tables), not
+    the round-1 'every non-ASCII codepoint is a letter' approximation."""
+
+    def test_superscript_is_number_not_letter(self):
+        from pgica_tpu.data.tokenizer import _pretokenize
+
+        assert _pretokenize("x²") == ["x", "²"]
+
+    def test_arrow_is_punctuation(self):
+        from pgica_tpu.data.tokenizer import _pretokenize
+
+        assert _pretokenize("a → b") == ["a", " →", " b"]
+
+    def test_arabic_digits_group_as_numbers(self):
+        from pgica_tpu.data.tokenizer import _pretokenize
+
+        assert _pretokenize("١٢٣x") == ["١٢٣", "x"]
+
+    def test_nbsp_is_whitespace(self):
+        from pgica_tpu.data.tokenizer import _pretokenize
+
+        # U+00A0 matches \s, so it prefixes... no — only ASCII space prefixes
+        # word tokens in GPT-2's ` ?` — NBSP stays a whitespace token.
+        assert _pretokenize("a b") == ["a", " ", "b"]

@@ -23,7 +23,17 @@ ASCII_TEXTS = [
     "mixed \t whitespace\truns  \t end ",
 ]
 
-UNICODE_TEXTS = ["caf\u00e9 \u2615 na\u00efve", "\u65e5\u672c\u8a9e caption"]
+UNICODE_TEXTS = [
+    "caf\u00e9 \u2615 na\u00efve",
+    "\u65e5\u672c\u8a9e caption",
+    # class boundaries the round-1 ">=0x80 is a letter" approximation broke:
+    "x\u00b2 + y\u00b3",          # superscripts are \p{N}, not letters
+    "a \u2192 b \u2014 c",         # arrows/dashes are punctuation
+    "\u0661\u0662\u0663 digits",  # Arabic-Indic digits are \p{N}
+    "mixed\u4e2d\u6587and123",     # script switch inside a word
+    "non\u2011breaking\u00a0space",  # U+00A0 is \s in Python regex
+    "emoji \U0001f600\U0001f680 run",
+]
 
 
 def _python_encode(tok: CaptionTokenizer, text: str):
