@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Batched caption-serving CLI.
+
+Minimal production-style serving loop for the latency_ms_p95 target
+(reference configs/default.yaml:92): an HTTP endpoint that queues incoming
+images, forms padded batches (fixed batch buckets so XLA compiles once per
+bucket), decodes them in one jitted generate call, and reports rolling
+latency percentiles.
+
+    python scripts/serve.py --config configs/default.yaml --port 8077 \
+        [--model-path checkpoints/best_model_stage2] [--platform cpu]
+
+POST /caption   body: raw image bytes (JPEG/PNG) or JSON
+                {"image": [[...]]} float array -> {"caption": ...,
+                "latency_ms": ...}
+GET  /healthz   -> {"status": "ok", "p50_ms": ..., "p95_ms": ..., "served": N}
+
+Implementation notes (TPU-first):
+* one decode graph per batch bucket (powers of two up to --max-batch);
+  requests are padded up to the bucket so shapes stay static;
+* batching window (--batch-wait-ms) trades p50 for throughput under load;
+* the model runs with bf16 inference params (weight-bandwidth-bound decode).
+"""
+
+import argparse
+import json
+import queue
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+class CaptionService:
+    """Owns the model and the batching loop."""
+
+    def __init__(self, config, model_path=None, max_batch: int = 8, batch_wait_ms: float = 5.0,
+                 max_length: int = 32):
+        from pgica_tpu.utils.factories import create_model, create_processors, create_tokenizer
+
+        tokenizer = create_tokenizer(config)
+        self.image_processor, _ = create_processors(config, tokenizer)
+        self.model = create_model(config, tokenizer)
+        if model_path:
+            import jax
+            import jax.numpy as jnp
+
+            from pgica_tpu.training.checkpoint import CheckpointManager, effective_params
+
+            payload = CheckpointManager(Path(model_path).parent).restore(model_path)
+            self.model.params = jax.tree.map(jnp.asarray, effective_params(payload))
+        self.max_batch = int(max_batch)
+        self.batch_wait_s = float(batch_wait_ms) / 1000.0
+        self.max_length = int(max_length)
+        self.buckets = [b for b in (1, 2, 4, 8, 16, 32, 64) if b <= self.max_batch]
+        self._queue: "queue.Queue" = queue.Queue()
+        self._latencies = []
+        self._served = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+
+    # -- lifecycle ---------------------------------------------------------------
+
+    def warmup(self):
+        """Pre-compile every batch bucket (cold-start latency off the request path)."""
+        size = self.model.image_size
+        for b in self.buckets:
+            self.model.generate_captions(
+                np.zeros((b, size, size, 3), np.float32), max_length=self.max_length
+            )
+        self._worker.start()
+
+    def shutdown(self):
+        self._stop.set()
+
+    # -- request path -------------------------------------------------------------
+
+    def submit(self, image: np.ndarray, timeout: float = 30.0) -> dict:
+        """Blocking single-request API used by the HTTP handler threads."""
+        done = threading.Event()
+        slot = {"image": image, "event": done, "caption": None, "t0": time.perf_counter()}
+        self._queue.put(slot)
+        if not done.wait(timeout):
+            raise TimeoutError("caption request timed out")
+        latency_ms = 1000.0 * (time.perf_counter() - slot["t0"])
+        with self._lock:
+            self._latencies.append(latency_ms)
+            self._latencies = self._latencies[-1000:]  # rolling window
+            self._served += 1
+        return {"caption": slot["caption"], "latency_ms": round(latency_ms, 2)}
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = list(self._latencies)
+            served = self._served
+        out = {"status": "ok", "served": served}
+        if lat:
+            out["p50_ms"] = round(float(np.percentile(lat, 50)), 2)
+            out["p95_ms"] = round(float(np.percentile(lat, 95)), 2)
+        return out
+
+    # -- batching loop -------------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.batch_wait_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            n = len(batch)
+            bucket = self._bucket(n)
+            size = self.model.image_size
+            images = np.zeros((bucket, size, size, 3), np.float32)
+            for i, slot in enumerate(batch):
+                images[i] = slot["image"]
+            try:
+                captions = self.model.generate_captions(images, max_length=self.max_length)
+            except Exception as e:  # keep the server alive; fail the batch
+                captions = [f"<error: {type(e).__name__}>"] * bucket
+            for i, slot in enumerate(batch):
+                slot["caption"] = captions[i]
+                slot["event"].set()
+
+
+def make_handler(service: CaptionService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, service.stats())
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/caption":
+                self._send(404, {"error": "unknown path"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length)
+            try:
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("application/json"):
+                    arr = np.asarray(json.loads(raw)["image"], np.float32)
+                    image = service.image_processor.process_image(arr.astype(np.uint8))
+                else:
+                    import io
+
+                    from PIL import Image
+
+                    image = service.image_processor.process_image(Image.open(io.BytesIO(raw)))
+                self._send(200, service.submit(image))
+            except Exception as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/default.yaml")
+    ap.add_argument("--model-path", default=None)
+    ap.add_argument("--port", type=int, default=8077)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--batch-wait-ms", type=float, default=5.0)
+    ap.add_argument("--max-length", type=int, default=32)
+    ap.add_argument("--platform", default=None, help="force a jax backend, e.g. cpu")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from pgica_tpu.utils.config import Config
+    from pgica_tpu.utils.factories import enable_compilation_cache, setup_logging
+
+    setup_logging(level="INFO", filename="serving.log")
+    enable_compilation_cache()
+    config = Config(args.config)
+    service = CaptionService(
+        config, model_path=args.model_path, max_batch=args.max_batch,
+        batch_wait_ms=args.batch_wait_ms, max_length=args.max_length,
+    )
+    print("warming up decode buckets...", file=sys.stderr)
+    service.warmup()
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
+    print(f"serving on :{args.port} (buckets {service.buckets})", file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.shutdown()
+
+
+if __name__ == "__main__":
+    main()

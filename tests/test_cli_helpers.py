@@ -94,3 +94,44 @@ class TestTSVDataset:
         )
         assert len(ds) == 1
         assert ds[0]["raw_caption"] == "wrapped caption"
+
+
+class TestCaptionService:
+    """Batched serving loop (scripts/serve.py): queueing, bucket padding,
+    and latency stats — driven in-process on the tiny model."""
+
+    def test_submit_batches_and_stats(self):
+        import importlib.util
+        import threading
+        from pathlib import Path
+
+        import numpy as np
+
+        from pgica_tpu.utils.config import Config
+
+        spec = importlib.util.spec_from_file_location(
+            "serve", Path(__file__).resolve().parents[1] / "scripts" / "serve.py"
+        )
+        serve = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(serve)
+
+        cfg = Config("configs/smoke.yaml")
+        svc = serve.CaptionService(cfg, max_batch=4, batch_wait_ms=10.0, max_length=6)
+        svc.warmup()
+        size = svc.model.image_size
+        imgs = [np.random.default_rng(i).normal(size=(size, size, 3)).astype(np.float32)
+                for i in range(5)]
+        results = [None] * len(imgs)
+
+        def call(i):
+            results[i] = svc.submit(imgs[i], timeout=120.0)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(len(imgs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r is not None and isinstance(r["caption"], str) for r in results)
+        stats = svc.stats()
+        assert stats["served"] == 5 and "p95_ms" in stats
+        svc.shutdown()
