@@ -70,6 +70,13 @@ def resolve_dtype(config):
     return compute_dtype(config.get("hardware.mixed_precision", "no"))
 
 
+def apply_hardware_rng(config):
+    """Apply ``hardware.rng`` (rbg = TPU hardware RNG, +13% stage-1 measured)."""
+    from pgica_tpu.core.precision import configure_rng
+
+    configure_rng(config.get("hardware.rng", "threefry"))
+
+
 def create_tokenizer(config):
     """Tokenizer resolution: local HF artifacts > dataset-trained BPE > byte fallback.
 

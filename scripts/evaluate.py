@@ -81,6 +81,10 @@ def main():
     from pgica_tpu.utils.factories import setup_logging
 
     config = Config(args.config)
+
+    from pgica_tpu.utils.factories import apply_hardware_rng
+
+    apply_hardware_rng(config)
     setup_logging(None, config.get("logging.level", "INFO"))
 
     evaluator = ModelEvaluator(config, args.model_path, args.output_dir)

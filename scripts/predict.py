@@ -121,6 +121,10 @@ def main():
     from pgica_tpu.utils.factories import setup_logging
 
     config = Config(args.config)
+
+    from pgica_tpu.utils.factories import apply_hardware_rng
+
+    apply_hardware_rng(config)
     setup_logging(None, config.get("logging.level", "INFO"))
     predictor = CaptionPredictor(config, args.model_path)
 

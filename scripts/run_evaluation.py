@@ -132,6 +132,10 @@ def main():
     from pgica_tpu.utils.factories import create_model, create_tokenizer, setup_logging
 
     config = Config(args.config)
+
+    from pgica_tpu.utils.factories import apply_hardware_rng
+
+    apply_hardware_rng(config)
     setup_logging(None, config.get("logging.level", "INFO"))
 
     tokenizer = create_tokenizer(config)

@@ -209,6 +209,8 @@ def main():
     setup_logging(level="INFO", filename="serving.log")
     enable_compilation_cache()
     config = Config(args.config)
+    from pgica_tpu.utils.factories import apply_hardware_rng
+    apply_hardware_rng(config)
     service = CaptionService(
         config, model_path=args.model_path, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, max_length=args.max_length,

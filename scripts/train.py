@@ -55,6 +55,10 @@ def main():
     )
 
     config = Config(args.config)
+
+    from pgica_tpu.utils.factories import apply_hardware_rng
+
+    apply_hardware_rng(config)
     if args.output_dir:
         config.set("paths.output_dir", args.output_dir)
         config.set("paths.checkpoint_dir", str(Path(args.output_dir) / "checkpoints"))
