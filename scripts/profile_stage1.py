@@ -169,6 +169,11 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+    # match the production configs: TPU hardware RNG for dropout/augment keys
+    try:
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
 
     out_dir = Path(args.out)
     trace_dir = out_dir / "profile"
