@@ -69,6 +69,11 @@ ENV_OVERRIDES: Dict[str, List[str]] = {
     # TPU-specific additions
     "CAPTION_ALIGNMENT_MESH_SHAPE": ["mesh", "shape"],
     "CAPTION_ALIGNMENT_USE_PALLAS": ["pallas", "enabled"],
+    "CAPTION_ALIGNMENT_RNG": ["hardware", "rng"],
+    "CAPTION_ALIGNMENT_VOCAB_SIZE": ["model", "vocab_size"],
+    "CAPTION_ALIGNMENT_WORKERS_MODE": ["data", "workers_mode"],
+    "CAPTION_ALIGNMENT_SAVE_STEPS": ["training", "save_steps"],
+    "CAPTION_ALIGNMENT_KEEP_CHECKPOINTS": ["training", "keep_checkpoints"],
 }
 
 

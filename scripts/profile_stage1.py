@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Stage-1 per-op profile + MFU on the real TPU (VERDICT round-1 item 4).
+"""Stage-1/stage-2 per-op profile + MFU on the real TPU (VERDICT round-1 item 4).
 
 Captures a ``jax.profiler`` xplane trace of steady-state stage-1 train steps
 at the TRUE GPT-2 vocabulary, parses it into a per-op table with
@@ -7,7 +7,7 @@ at the TRUE GPT-2 vocabulary, parses it into a per-op table with
 analysis, and writes ``results/PROFILE.md`` + the raw trace under
 ``results/profile/``.
 
-Usage: python scripts/profile_stage1.py [--batch 64] [--steps 10]
+Usage: python scripts/profile_stage1.py [--stage 1|2] [--batch N] [--steps 10]
 """
 
 import argparse
@@ -31,52 +31,75 @@ V5E_BF16_PEAK_TFLOPS = 197.0  # TPU v5e (lite) peak bf16 TFLOP/s per chip
 GPT2_VOCAB = 50262
 
 
-def build(batch_size: int, dropout: float = 0.1, remat: bool = False):
+def build(batch_size: int, stage: int = 1, dropout: float = 0.1, remat: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from pgica_tpu.models.model import build_module
     from pgica_tpu.training.optim import create_optimizer
-    from pgica_tpu.training.train_step import TrainState, make_stage1_train_step
+    from pgica_tpu.training.train_step import (
+        TrainState,
+        make_stage1_train_step,
+        make_stage2_train_step,
+    )
 
     module = build_module(
         vision_model="openai/clip-vit-base-patch32", text_model="gpt2-medium",
         projection_dim=512, temperature=0.5, vocab_size=GPT2_VOCAB,
         max_caption_length=128, dtype=jnp.bfloat16, remat=remat, dropout=dropout,
+        freeze_vision_backbone=True,
     )
     rng = np.random.default_rng(0)
-    batch = {
-        "image": jnp.asarray(rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32)),
-        "caption_ids": jnp.asarray(rng.integers(0, GPT2_VOCAB, (batch_size, 128)).astype(np.int32)),
-        "caption_mask": jnp.ones((batch_size, 128), jnp.int32),
-    }
-    params = module.init(
-        jax.random.PRNGKey(0), batch["image"][:1], batch["caption_ids"][:1],
-        batch["caption_mask"][:1], mode="contrastive",
-    )["params"]
-    opt = create_optimizer(
-        5e-5, total_steps=1000, warmup_steps=10,
-        params_for_freezing=params, freeze_vision_backbone=True,
-    )
-    state = TrainState.create(params, opt)
-    step = jax.jit(
-        make_stage1_train_step(module, opt, temperature=0.5, augment=True),
-        donate_argnums=(0,),
-    )
+    images = jnp.asarray(rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, GPT2_VOCAB, (batch_size, 128)).astype(np.int32))
+    mask = jnp.ones((batch_size, 128), jnp.int32)
+    if stage == 1:
+        batch = {"image": images, "caption_ids": ids, "caption_mask": mask}
+        params = module.init(
+            jax.random.PRNGKey(0), images[:1], ids[:1], mask[:1], mode="contrastive"
+        )["params"]
+        opt = create_optimizer(
+            5e-5, total_steps=1000, warmup_steps=10,
+            params_for_freezing=params, freeze_vision_backbone=True,
+        )
+        state = TrainState.create(params, opt)
+        step_fn = jax.jit(
+            make_stage1_train_step(module, opt, temperature=0.5, augment=True),
+            donate_argnums=(0,),
+        )
+        step = lambda st, key: step_fn(st, batch, key)
+    else:
+        from pgica_tpu.core.precision import cast_floating
+
+        batch = {
+            "image": images,
+            "preferred_ids": ids, "preferred_mask": mask,
+            "rejected_ids": ids, "rejected_mask": mask,
+        }
+        params = module.init(
+            jax.random.PRNGKey(0), images[:1], ids[:1], mask[:1], mode="dual"
+        )["params"]
+        ref = cast_floating(jax.tree.map(lambda x: jnp.array(x, copy=True), params), jnp.bfloat16)
+        opt = create_optimizer(1e-5, total_steps=1000, warmup_steps=10)
+        state = TrainState.create(params, opt)
+        step_fn = jax.jit(
+            make_stage2_train_step(module, opt, beta=0.1, augment=True),
+            donate_argnums=(0,),
+        )
+        step = lambda st, key: step_fn(st, ref, batch, key)
     return step, state, batch
 
 
-def measure(step, state, batch, steps: int):
+def measure(step, state, steps: int, key):
     import jax
 
-    key = jax.random.PRNGKey(0)
     for _ in range(2):
-        state, metrics = step(state, batch, key)
+        state, metrics = step(state, key)
     jax.block_until_ready(metrics["loss"])
     t0 = time.time()
     for _ in range(steps):
-        state, metrics = step(state, batch, key)
+        state, metrics = step(state, key)
         _ = float(metrics["loss"])
     return (time.time() - t0) / steps, state
 
@@ -139,7 +162,8 @@ def op_table(trace_dir: Path, top: int = 25):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--stage", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--batch", type=int, default=0, help="0 = stage default (128 / 32)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--out", type=str, default="results")
     ap.add_argument("--parse-only", action="store_true",
@@ -180,36 +204,38 @@ def main():
     trace_dir.mkdir(parents=True, exist_ok=True)
 
     print(f"backend={jax.default_backend()}", file=sys.stderr)
-    step, state, batch = build(args.batch)
+    batch_size = args.batch or (128 if args.stage == 1 else 32)
+    # stage-2 keeps threefry keys (the rbg variant of that graph crashes this
+    # stack's remote compile helper — see bench.py)
+    key = (jax.random.PRNGKey(0) if args.stage == 1
+           else jax.random.key(0, impl="threefry2x32"))
+    step, state, batch = build(batch_size, stage=args.stage)
 
-    # FLOPs from the compiled HLO (stage-1 fwd+bwd+update, augment included).
-    lowered = jax.jit(step._fun if hasattr(step, "_fun") else step, donate_argnums=(0,)).lower(
-        state, batch, jax.random.PRNGKey(0)
-    )
+    # FLOPs from the compiled HLO (fwd+bwd+update, augment included).
+    lowered = jax.jit(lambda st, k: step(st, k)).lower(state, key)
     cost = lowered.compile().cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]
     flops = float(cost.get("flops", 0.0))
 
-    sec_per_step, state = measure(step, state, batch, args.steps)
+    sec_per_step, state = measure(step, state, args.steps, key)
 
     # trace a few steady-state steps
-    key = jax.random.PRNGKey(1)
     with jax.profiler.trace(str(trace_dir)):
         for _ in range(3):
-            state, metrics = step(state, batch, key)
+            state, metrics = step(state, key)
         jax.block_until_ready(metrics["loss"])
 
-    pairs_per_sec = args.batch / sec_per_step
+    pairs_per_sec = batch_size / sec_per_step
     tflops_per_sec = flops / sec_per_step / 1e12
     mfu = tflops_per_sec / V5E_BF16_PEAK_TFLOPS
 
     rows, err = op_table(trace_dir)
 
     md = [
-        "# Stage-1 per-op profile (real TPU, true vocab 50,262)",
+        f"# Stage-{args.stage} per-op profile (real TPU, true vocab 50,262)",
         "",
-        f"- batch {args.batch}, {args.steps} timed steps, bf16, augment on, frozen ViT",
+        f"- batch {batch_size}, {args.steps} timed steps, bf16, augment on, frozen ViT",
         f"- step time: **{sec_per_step*1000:.1f} ms** -> **{pairs_per_sec:.1f} pairs/s/chip**",
         f"- compiled HLO cost: **{flops/1e12:.2f} TFLOP/step** -> {tflops_per_sec:.1f} TFLOP/s",
         f"- **MFU ~= {100*mfu:.1f}%** of v5e bf16 peak ({V5E_BF16_PEAK_TFLOPS:.0f} TFLOP/s)",
@@ -224,9 +250,10 @@ def main():
             md.append(f"| `{name}` | {ms:.2f} | {pct:.1f}% | {cnt} |")
     else:
         md.append(f"(per-op table unavailable: {err})")
-    (out_dir / "PROFILE.md").write_text("\n".join(md) + "\n")
+    name = "PROFILE.md" if args.stage == 1 else "PROFILE_stage2.md"
+    (out_dir / name).write_text("\n".join(md) + "\n")
     print("\n".join(md[:8]))
-    print(f"trace in {trace_dir}, report in {out_dir}/PROFILE.md")
+    print(f"trace in {trace_dir}, report in {out_dir}/{name}")
 
 
 if __name__ == "__main__":
