@@ -69,6 +69,7 @@ def build(batch_size: int, stage: int = 1, dropout: float = 0.1, remat: bool = F
             donate_argnums=(0,),
         )
         step = lambda st, key: step_fn(st, batch, key)
+        cost_fn = lambda st, key: step_fn.lower(st, batch, key).compile().cost_analysis()
     else:
         from pgica_tpu.core.precision import cast_floating
 
@@ -88,7 +89,8 @@ def build(batch_size: int, stage: int = 1, dropout: float = 0.1, remat: bool = F
             donate_argnums=(0,),
         )
         step = lambda st, key: step_fn(st, ref, batch, key)
-    return step, state, batch
+        cost_fn = lambda st, key: step_fn.lower(st, ref, batch, key).compile().cost_analysis()
+    return step, state, cost_fn
 
 
 def measure(step, state, steps: int, key):
@@ -209,11 +211,11 @@ def main():
     # stack's remote compile helper — see bench.py)
     key = (jax.random.PRNGKey(0) if args.stage == 1
            else jax.random.key(0, impl="threefry2x32"))
-    step, state, batch = build(batch_size, stage=args.stage)
+    step, state, cost_fn = build(batch_size, stage=args.stage)
 
-    # FLOPs from the compiled HLO (fwd+bwd+update, augment included).
-    lowered = jax.jit(lambda st, k: step(st, k)).lower(state, key)
-    cost = lowered.compile().cost_analysis()
+    # FLOPs from the compiled HLO (fwd+bwd+update, augment included) — uses
+    # the SAME jit cache entry the measured steps execute, so no recompile.
+    cost = cost_fn(state, key)
     if isinstance(cost, list):
         cost = cost[0]
     flops = float(cost.get("flops", 0.0))
