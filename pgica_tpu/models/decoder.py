@@ -44,6 +44,13 @@ class CaptionDecoder(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     shared_lm: Optional[TransformerLM] = None
+    # Context parallelism: when set, the training forward must run inside
+    # shard_map with caption_ids/caption_mask sharded over this mesh axis
+    # (sequence dim). Self-attention rides ops/ring_attention and GPT-2's
+    # learned positions use each shard's GLOBAL offsets. The vision token is
+    # replicated per shard (cross-attention is shard-local). Decode paths are
+    # unaffected (caches force the non-ring branch).
+    ring_axis: Optional[str] = None
 
     def setup(self):
         self.vision_projection = nn.Sequential(
@@ -63,7 +70,7 @@ class CaptionDecoder(nn.Module):
         self.cross_ln = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
         self.lm = self.shared_lm or TransformerLM(
             self.config, with_lm_head=True, dtype=self.dtype,
-            attn_impl=self.attn_impl, remat=self.remat,
+            attn_impl=self.attn_impl, remat=self.remat, ring_axis=self.ring_axis,
         )
 
     def project_vision(self, vision_embeddings: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -92,7 +99,12 @@ class CaptionDecoder(nn.Module):
         if caption_mask is None:
             caption_mask = jnp.ones_like(caption_ids)
         vision_token = self.project_vision(vision_embeddings, deterministic)
-        token_embeds = self.lm.embed(caption_ids)
+        position_offset = 0
+        if self.ring_axis is not None:
+            # sequence-sharded: this shard owns global positions
+            # [idx * S_local, (idx + 1) * S_local)
+            position_offset = jax.lax.axis_index(self.ring_axis) * caption_ids.shape[1]
+        token_embeds = self.lm.embed(caption_ids, position_offset=position_offset)
         fused = self.fuse(token_embeds, vision_token, deterministic)
         out = self.lm(
             inputs_embeds=fused, attention_mask=caption_mask, deterministic=deterministic

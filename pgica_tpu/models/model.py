@@ -55,6 +55,10 @@ class PreferenceGuidedCaptioningModule(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    # Context parallelism for the caption decoder's training forward: see
+    # CaptionDecoder.ring_axis. Vision/text towers are NOT sequence-sharded
+    # (vision seq = image patches; the text tower is unused in stage 2).
+    ring_axis: Optional[str] = None
 
     def setup(self):
         self.vision_encoder = VisionEncoder(
@@ -63,6 +67,12 @@ class PreferenceGuidedCaptioningModule(nn.Module):
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
         )
         shared_lm = None
+        if self.share_text_tower and self.ring_axis is not None:
+            raise ValueError(
+                "ring_axis (context parallelism) requires a dedicated decoder "
+                "backbone; share_text_tower would sequence-shard the text "
+                "encoder's forward too"
+            )
         if self.share_text_tower:
             # One transformer serves as text tower AND decoder backbone,
             # halving the reference's duplicated-GPT-2 parameter budget
@@ -82,7 +92,7 @@ class PreferenceGuidedCaptioningModule(nn.Module):
         self.caption_decoder = CaptionDecoder(
             self.decoder_config, self.projection_dim, dropout=self.dropout,
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
-            shared_lm=shared_lm,
+            shared_lm=shared_lm, ring_axis=self.ring_axis,
         )
 
     # -- encoders -----------------------------------------------------------------

@@ -217,6 +217,73 @@ def sequence_logprobs_from_hidden(
     return summed
 
 
+def cp_shift_targets(
+    input_ids: jax.Array, attention_mask: jax.Array, axis_name: str
+) -> Tuple[jax.Array, jax.Array]:
+    """Shard-local (targets, target_mask) for the global causal shift.
+
+    Context-parallel analog of the ``[:, 1:]`` shift in
+    :func:`sequence_logprobs`: inside shard_map with (B, S_local) sequence
+    shards, local position t predicts GLOBAL position t+1. For the shard's
+    last position that target lives on the next shard — its first column
+    arrives via ``ppermute``. The global-final position has no target and is
+    masked out on the last shard; target validity follows the target
+    position's attention mask (same convention as the unsharded path).
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [((i + 1) % n, i) for i in range(n)]  # next shard sends to me
+    nxt_ids = jax.lax.ppermute(input_ids[:, :1], axis_name, perm)
+    nxt_mask = jax.lax.ppermute(attention_mask[:, :1], axis_name, perm)
+    targets = jnp.concatenate([input_ids[:, 1:], nxt_ids], axis=1)
+    tmask = jnp.concatenate([attention_mask[:, 1:], nxt_mask], axis=1).astype(jnp.float32)
+    # Wrap-around from the ring permutation: the last shard received shard
+    # 0's first column, but the global final position predicts nothing.
+    tmask = tmask * jnp.where(
+        (jnp.arange(tmask.shape[1]) == tmask.shape[1] - 1) & (idx == n - 1), 0.0, 1.0
+    )[None, :]
+    return targets, tmask
+
+
+def cp_sequence_logprob_partials(
+    logits: jax.Array,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    axis_name: str,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-shard (partial_logprob_sum, partial_token_count), both (B,).
+
+    Sum the partials over ``axis_name`` (psum, or stacked out_specs reduced
+    outside shard_map) to recover :func:`sequence_logprobs` of the full
+    sequence exactly.
+    """
+    targets, tmask = cp_shift_targets(input_ids, attention_mask, axis_name)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tok = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(tok * tmask, axis=-1), jnp.sum(tmask, axis=-1)
+
+
+def cp_sequence_logprob_partials_from_hidden(
+    hidden: jax.Array,
+    embedding: jax.Array,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    axis_name: str,
+    impl: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused-CE variant of :func:`cp_sequence_logprob_partials`: the
+    (B, S_local, V) logits shard never materializes (ops/fused_ce.py); the
+    embedding arrives replicated per shard."""
+    from pgica_tpu.ops.fused_ce import fused_token_logprobs
+
+    b, s, d = hidden.shape
+    targets, tmask = cp_shift_targets(input_ids, attention_mask, axis_name)
+    tok = fused_token_logprobs(
+        hidden.reshape(b * s, d), embedding, targets.reshape(-1), impl=impl
+    ).reshape(b, s)
+    return jnp.sum(tok * tmask, axis=-1), jnp.sum(tmask, axis=-1)
+
+
 def dpo_loss(
     policy_chosen_logps: jax.Array,
     policy_rejected_logps: jax.Array,

@@ -508,3 +508,140 @@ class TestContextParallelLM:
             check_vma=False,
         )(params, ids, mask)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+class TestContextParallelStage2:
+    """Sequence-sharded (shard_map) stage-2 training step: decoder
+    activations stay context-parallel through the DPO loss (BACKLOG
+    "shard_map training-step variant"); loss, logprobs, and the parameter
+    UPDATE must match the unsharded step to float tolerance."""
+
+    def _model(self):
+        from pgica_tpu.data.tokenizer import CaptionTokenizer
+        from pgica_tpu.models import PreferenceGuidedCaptioningModel
+
+        tok = CaptionTokenizer()
+        model = PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=16,
+            tokenizer=tok, max_caption_length=8, image_size=32, seed=0,
+            dropout=0.0,  # CP repeats dropout masks per shard; compare clean
+        )
+        return tok, model
+
+    def _batch(self, tok, b=4):
+        rng = np.random.default_rng(0)
+        p_ids, p_mask = tok.encode_batch([f"good caption {i}" for i in range(b)], 8)
+        r_ids, r_mask = tok.encode_batch([f"bad {i}" for i in range(b)], 8)
+        return {
+            "image": jnp.asarray(rng.normal(size=(b, 32, 32, 3)).astype(np.float32)),
+            "preferred_ids": jnp.asarray(p_ids), "preferred_mask": jnp.asarray(p_mask),
+            "rejected_ids": jnp.asarray(r_ids), "rejected_mask": jnp.asarray(r_mask),
+        }
+
+    def _mesh(self):
+        return Mesh(np.asarray(jax.devices()[:4]), ("seq",))
+
+    @pytest.mark.parametrize("length_norm", [False, True])
+    def test_loss_and_grads_match_unsharded(self, length_norm):
+        from pgica_tpu.training.cp_step import make_cp_module, make_stage2_cp_loss_fn
+        from pgica_tpu.training.train_step import stage2_loss_fn
+
+        tok, model = self._model()
+        batch = self._batch(tok)
+        ref_params = jax.tree.map(lambda x: jnp.array(x, copy=True), model.params)
+        key = jax.random.PRNGKey(3)
+        mesh = self._mesh()
+
+        def plain(params):
+            return stage2_loss_fn(
+                params, ref_params, batch, key, model.module, 0.1,
+                False, length_norm, 0.0, False,
+            )
+
+        cp_loss = make_stage2_cp_loss_fn(
+            make_cp_module(model.module, "seq"), mesh, "seq", beta=0.1,
+            length_normalized=length_norm, augment=False,
+        )
+
+        (l_ref, m_ref), g_ref = jax.value_and_grad(plain, has_aux=True)(model.params)
+        (l_cp, m_cp), g_cp = jax.value_and_grad(cp_loss, has_aux=True)(
+            model.params, ref_params, batch, key
+        )
+        np.testing.assert_allclose(float(l_cp), float(l_ref), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m_cp["policy_chosen_logp"]), float(m_ref["policy_chosen_logp"]), rtol=1e-5
+        )
+        flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat_cp = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(g_cp)}
+        for k, v_ref in flat_ref:
+            v_cp = flat_cp[jax.tree_util.keystr(k)]
+            np.testing.assert_allclose(
+                np.asarray(v_cp), np.asarray(v_ref), atol=2e-5,
+                err_msg=jax.tree_util.keystr(k),
+            )
+
+    def test_train_step_matches_unsharded(self):
+        import optax
+
+        from pgica_tpu.training.cp_step import make_stage2_cp_train_step
+        from pgica_tpu.training.optim import create_optimizer
+        from pgica_tpu.training.train_step import TrainState, make_stage2_train_step
+
+        tok, model = self._model()
+        batch = self._batch(tok)
+        ref_params = jax.tree.map(lambda x: jnp.array(x, copy=True), model.params)
+        opt = create_optimizer(1e-3, total_steps=2, warmup_steps=1)
+        key = jax.random.PRNGKey(7)
+        mesh = self._mesh()
+
+        plain = jax.jit(make_stage2_train_step(model.module, opt, beta=0.1, augment=False))
+        cp = jax.jit(make_stage2_cp_train_step(
+            model.module, opt, mesh, "seq", beta=0.1, augment=False
+        ))
+
+        s_ref, m_ref = plain(TrainState.create(model.params, opt), ref_params, batch, key)
+        s_cp, m_cp = cp(TrainState.create(model.params, opt), ref_params, batch, key)
+        np.testing.assert_allclose(float(m_cp["loss"]), float(m_ref["loss"]), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5),
+            s_cp.params, s_ref.params,
+        )
+
+    def test_fused_ce_path_matches(self):
+        """CP with the fused linear-CE kernel (interpret mode on CPU)."""
+        from pgica_tpu.training.cp_step import make_cp_module, make_stage2_cp_loss_fn
+
+        tok, model = self._model()
+        batch = self._batch(tok, b=2)
+        key = jax.random.PRNGKey(1)
+        mesh = self._mesh()
+        cp_plain = make_stage2_cp_loss_fn(
+            make_cp_module(model.module, "seq"), mesh, "seq", beta=0.1,
+            reference_free=True, augment=False, use_fused_ce=False,
+        )
+        cp_fused = make_stage2_cp_loss_fn(
+            make_cp_module(model.module, "seq"), mesh, "seq", beta=0.1,
+            reference_free=True, augment=False, use_fused_ce=True,
+        )
+        l0, _ = cp_plain(model.params, None, batch, key)
+        l1, _ = cp_fused(model.params, None, batch, key)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+
+    def test_cp_composed_with_data_parallelism(self):
+        """2-axis mesh: batch over 'data', sequence over 'seq'."""
+        from pgica_tpu.training.cp_step import make_cp_module, make_stage2_cp_loss_fn
+        from pgica_tpu.training.train_step import stage2_loss_fn
+
+        tok, model = self._model()
+        batch = self._batch(tok, b=4)
+        key = jax.random.PRNGKey(5)
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "seq"))
+        cp_loss = make_stage2_cp_loss_fn(
+            make_cp_module(model.module, "seq"), mesh, "seq", beta=0.1,
+            reference_free=True, augment=False, data_axis="data",
+        )
+        l_cp, _ = cp_loss(model.params, None, batch, key)
+        l_ref, _ = stage2_loss_fn(
+            model.params, None, batch, key, model.module, 0.1, True, False, 0.0, False,
+        )
+        np.testing.assert_allclose(float(l_cp), float(l_ref), rtol=1e-5)
