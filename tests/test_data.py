@@ -358,6 +358,48 @@ class TestAugment:
         np.testing.assert_allclose(out, batch)
 
 
+    def test_rotate_3shear_matches_direct_rotation(self, rng):
+        """Paeth 3-shear rotation vs direct inverse-mapping nearest rotation:
+        >=95% of pixels identical on a smooth image; zero angle = identity."""
+        import jax.numpy as jnp
+
+        from pgica_tpu.data.augment import rotate_3shear
+
+        h = w = 48
+        base = rng.random((h, w)).astype(np.float32)
+        # smooth so rounding-boundary pixels are the only disagreements
+        k = np.ones((5, 5)) / 25.0
+        sm = base.copy()
+        for _ in range(3):
+            pad = np.pad(sm, 2, mode="edge")
+            sm = sum(
+                pad[i : i + h, j : j + w] * k[i, j] for i in range(5) for j in range(5)
+            )
+        img = np.repeat(sm[:, :, None], 3, axis=2).astype(np.float32)
+
+        def direct(imgc, theta):
+            cy, cx = (h - 1) / 2, (w - 1) / 2
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            c, s = np.cos(theta), np.sin(theta)
+            ys = c * (yy - cy) + s * (xx - cx) + cy
+            xs = -s * (yy - cy) + c * (xx - cx) + cx
+            yi, xi = np.round(ys).astype(int), np.round(xs).astype(int)
+            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            out = np.zeros_like(imgc)
+            out[valid] = imgc[np.clip(yi, 0, h - 1)[valid], np.clip(xi, 0, w - 1)[valid]]
+            return out
+
+        for deg in (5.0, -5.0, 3.2):
+            theta = np.deg2rad(deg)
+            got = np.asarray(rotate_3shear(jnp.asarray(img), jnp.float32(theta), 5.0))
+            want = direct(img, theta)
+            frac_equal = np.mean(np.abs(got - want) < 2e-2)
+            assert frac_equal > 0.95, (deg, frac_equal)
+
+        ident = np.asarray(rotate_3shear(jnp.asarray(img), jnp.float32(0.0), 5.0))
+        np.testing.assert_allclose(ident, img, atol=1e-6)
+
+
 class TestDeviceSideNormalization:
     def test_uint8_path_matches_host_normalization(self, temp_dataset_dir):
         from pgica_tpu.data.augment import prepare_images
