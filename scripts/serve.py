@@ -67,14 +67,24 @@ class CaptionService:
 
     # -- lifecycle ---------------------------------------------------------------
 
-    def warmup(self):
-        """Pre-compile every batch bucket (cold-start latency off the request path)."""
+    def warmup(self, start_worker: bool = True) -> list:
+        """Pre-compile every batch bucket (cold-start latency off the request path).
+
+        Returns per-bucket (batch, seconds) timings. With the persistent XLA
+        compilation cache enabled (all CLIs do), the compiled executables are
+        reusable by later server processes — see ``--prejit``.
+        """
         size = self.model.image_size
+        timings = []
         for b in self.buckets:
+            t0 = time.perf_counter()
             self.model.generate_captions(
                 np.zeros((b, size, size, 3), np.float32), max_length=self.max_length
             )
-        self._worker.start()
+            timings.append((b, time.perf_counter() - t0))
+        if start_worker:
+            self._worker.start()
+        return timings
 
     def shutdown(self):
         self._stop.set()
@@ -196,6 +206,11 @@ def main():
     ap.add_argument("--batch-wait-ms", type=float, default=5.0)
     ap.add_argument("--max-length", type=int, default=32)
     ap.add_argument("--platform", default=None, help="force a jax backend, e.g. cpu")
+    ap.add_argument(
+        "--prejit", action="store_true",
+        help="compile every decode bucket into the persistent XLA cache, "
+             "print timings, and exit (run once before cold serving starts)",
+    )
     args = ap.parse_args()
 
     if args.platform:
@@ -215,6 +230,12 @@ def main():
         config, model_path=args.model_path, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, max_length=args.max_length,
     )
+    if args.prejit:
+        print("prejit: compiling decode buckets into the persistent cache...", file=sys.stderr)
+        for b, secs in service.warmup(start_worker=False):
+            print(f"  bucket {b:>3}: {secs:.1f}s", file=sys.stderr)
+        print("prejit done; subsequent serve starts reuse the cache", file=sys.stderr)
+        return
     print("warming up decode buckets...", file=sys.stderr)
     service.warmup()
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
