@@ -227,6 +227,7 @@ _SLOW_NODEIDS = (
     "test_training.py::TestOptim::test_frozen_params_unchanged_after_step",
     "test_parallel.py::TestDCNAxis::test_stage1_and_stage2_step_on_dcn_mesh",
     "test_parallel.py::TestContextParallelStage2::test_train_step_matches_unsharded",
+    "test_parallel.py::TestZero1",
     "test_parallel.py::TestContextParallelStage2::test_fused_ce_path_matches",
     "test_parallel.py::TestContextParallelStage2::test_cp_composed_with_data_parallelism",
     "test_parallel.py::TestScaledConfigShapes",

@@ -645,3 +645,117 @@ class TestContextParallelStage2:
             model.params, None, batch, key, model.module, 0.1, True, False, 0.0, False,
         )
         np.testing.assert_allclose(float(l_cp), float(l_ref), rtol=1e-5)
+
+
+class TestZero1:
+    """Explicit reduce-scatter data parallelism (ZeRO-1): flat-sharded Adam
+    state, psum_scatter'ed grads. The gathered parameters after each step
+    must match the plain jit step (GSPMD, replicated optimizer) exactly."""
+
+    def _setup(self):
+        import functools
+
+        from pgica_tpu.data.tokenizer import CaptionTokenizer
+        from pgica_tpu.models import PreferenceGuidedCaptioningModel
+        from pgica_tpu.training.train_step import stage1_loss_fn
+
+        tok = CaptionTokenizer()
+        model = PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=16,
+            tokenizer=tok, max_caption_length=8, image_size=32, seed=0,
+            dropout=0.0,
+        )
+        rng = np.random.default_rng(0)
+        ids, mask = tok.encode_batch([f"caption number {i}" for i in range(8)], 8)
+        batch = {
+            "image": jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32)),
+            "caption_ids": jnp.asarray(ids),
+            "caption_mask": jnp.asarray(mask),
+        }
+        loss_fn = functools.partial(
+            stage1_loss_fn, module=model.module, temperature=0.5,
+            augment=False, axis_name="data",
+        )
+        return model, batch, loss_fn
+
+    def test_two_steps_match_jit_step(self):
+        import optax
+
+        from pgica_tpu.parallel.zero1 import make_zero1_train_step
+        from pgica_tpu.training.optim import warmup_cosine_schedule
+        from pgica_tpu.training.train_step import TrainState, make_stage1_train_step
+
+        model, batch, loss_fn = self._setup()
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+        sched = warmup_cosine_schedule(1e-3, warmup_steps=1, total_steps=4)
+        key = jax.random.PRNGKey(0)
+
+        # reference: plain jit step, replicated params/opt, full batch.
+        # eps=1e-3 in BOTH paths: params with mathematically-zero gradients
+        # (e.g. k_proj bias — softmax shift invariance) otherwise amplify
+        # cross-path float noise into lr-scale junk updates under Adam.
+        tx_ref = optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adamw(sched, weight_decay=0.01, eps=1e-3)
+        )
+        ref_step = jax.jit(make_stage1_train_step(model.module, tx_ref, 0.5, augment=False))
+        ref_state = TrainState.create(model.params, tx_ref)
+
+        init_fn, step_fn = make_zero1_train_step(
+            loss_fn, mesh, "data", learning_rate=sched,
+            weight_decay=0.01, max_grad_norm=1.0, eps=1e-3,
+        )
+        z_state = init_fn(model.params)
+        # optimizer state is genuinely sharded: moments are 1/8 per device
+        mu = jax.tree_util.tree_leaves(z_state.opt_state)
+        assert any(
+            getattr(l, "sharding", None) is not None
+            and "data" in str(getattr(l.sharding, "spec", ""))
+            for l in mu if hasattr(l, "ndim") and l.ndim >= 1
+        )
+
+        jit_step = jax.jit(step_fn)
+        for _ in range(2):
+            ref_state, ref_metrics = ref_step(ref_state, batch, key)
+            z_state, z_metrics = jit_step(z_state, batch, key)
+            np.testing.assert_allclose(
+                float(z_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+            )
+
+        gathered = step_fn.gather_params(z_state)
+        flat_ref = {jax.tree_util.keystr(k): v
+                    for k, v in jax.tree_util.tree_leaves_with_path(ref_state.params)}
+        for k, v in jax.tree_util.tree_leaves_with_path(gathered):
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(flat_ref[jax.tree_util.keystr(k)]),
+                atol=2e-6, err_msg=jax.tree_util.keystr(k),
+            )
+
+    def test_frozen_mask_keeps_params(self):
+        from pgica_tpu.parallel.zero1 import make_zero1_train_step
+        from pgica_tpu.training.optim import freeze_labels
+
+        model, batch, loss_fn = self._setup()
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+        labels = freeze_labels(model.params, True, False)
+        mask = jax.tree.map(lambda lab: lab == "train", labels)
+        init_fn, step_fn = make_zero1_train_step(
+            loss_fn, mesh, "data", learning_rate=1e-2,
+            weight_decay=0.01, max_grad_norm=1.0, trainable_mask=mask,
+        )
+        z_state = init_fn(model.params)
+        z_state, _ = jax.jit(step_fn)(z_state, batch, jax.random.PRNGKey(0))
+        gathered = step_fn.gather_params(z_state)
+        before_vis = model.params["vision_encoder"]["backbone"]
+        after_vis = gathered["vision_encoder"]["backbone"]
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_array_equal(np.asarray(a), np.asarray(b_)),
+            after_vis, before_vis,
+        )
+        # trainable params did move
+        before_q = np.asarray(
+            model.params["text_encoder"]["backbone"]["block_0"]["attn"]["q_proj"]["kernel"]
+        )
+        after_q = np.asarray(
+            gathered["text_encoder"]["backbone"]["block_0"]["attn"]["q_proj"]["kernel"]
+        )
+        assert not np.allclose(after_q, before_q)
