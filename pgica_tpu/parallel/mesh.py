@@ -29,11 +29,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 logger = logging.getLogger(__name__)
 
-AXES = ("dcn", "data", "fsdp", "model")
+AXES = ("dcn", "data", "fsdp", "model", "seq")
 
 
 class MeshContext:
-    """Owns the device mesh and the canonical sharding constructors."""
+    """Owns the device mesh and the canonical sharding constructors.
+
+    The innermost ``seq`` axis is context parallelism for long-sequence
+    stage-2 runs (training/cp_step.py): parameters are replicated over it
+    (no sharding rule mentions it) and the caption sequence dim is split
+    across it inside shard_map. Size 1 (the default) makes it inert.
+    """
 
     def __init__(
         self,
@@ -41,23 +47,25 @@ class MeshContext:
         fsdp: int = 1,
         model: int = 1,
         dcn: int = 1,
+        seq: int = 1,
         devices: Optional[Sequence[Any]] = None,
     ):
         devices = list(devices) if devices is not None else jax.devices()
         n = len(devices)
         if data == -1:
-            if n % (dcn * fsdp * model) != 0:
+            if n % (dcn * fsdp * model * seq) != 0:
                 raise ValueError(
-                    f"{n} devices not divisible by dcn*fsdp*model={dcn * fsdp * model}"
+                    f"{n} devices not divisible by dcn*fsdp*model*seq="
+                    f"{dcn * fsdp * model * seq}"
                 )
-            data = n // (dcn * fsdp * model)
-        if dcn * data * fsdp * model != n:
+            data = n // (dcn * fsdp * model * seq)
+        if dcn * data * fsdp * model * seq != n:
             raise ValueError(
-                f"Mesh {dcn}x{data}x{fsdp}x{model} does not match {n} devices"
+                f"Mesh {dcn}x{data}x{fsdp}x{model}x{seq} does not match {n} devices"
             )
-        device_array = np.asarray(devices).reshape(dcn, data, fsdp, model)
+        device_array = np.asarray(devices).reshape(dcn, data, fsdp, model, seq)
         self.mesh = Mesh(device_array, AXES)
-        self.shape: Dict[str, int] = dict(zip(AXES, (dcn, data, fsdp, model)))
+        self.shape: Dict[str, int] = dict(zip(AXES, (dcn, data, fsdp, model, seq)))
         logger.info("Mesh created: %s over %d %s devices", self.shape, n, devices[0].platform)
 
     @classmethod
@@ -67,6 +75,7 @@ class MeshContext:
             fsdp=config.get("mesh.fsdp", 1),
             model=config.get("mesh.model", 1),
             dcn=config.get("mesh.dcn", 1),
+            seq=config.get("mesh.seq", 1),
             devices=devices,
         )
 

@@ -104,15 +104,20 @@ def make_stage2_cp_loss_fn(
     label_smoothing: float = 0.0,
     augment: bool = True,
     use_fused_ce: bool = False,
-    data_axis: Optional[str] = None,
+    data_axis=None,
+    policy_dropout: bool = True,
 ) -> Callable:
     """loss_fn(params, ref_params, batch, rng) with sequence-sharded decoder.
 
     ``module_cp`` must be the :func:`make_cp_module` clone (ring_axis set).
-    ``data_axis`` optionally shards the batch dim over a second mesh axis
-    (data parallelism composed with context parallelism).
+    ``data_axis`` optionally shards the batch dim over one or more further
+    mesh axes (a name or tuple of names — data parallelism composed with
+    context parallelism). ``policy_dropout=False`` makes the policy pass
+    deterministic (eval).
     """
     n_shards = mesh.shape[axis_name]
+    if isinstance(data_axis, (tuple, list)):
+        data_axis = tuple(a for a in data_axis if mesh.shape.get(a, 1) > 1) or None
 
     def _partials(params, images, batch, rng, with_dropout):
         body = _pair_partials_factory(module_cp, axis_name, use_fused_ce, with_dropout)
@@ -157,7 +162,7 @@ def make_stage2_cp_loss_fn(
                 f"by CP degree {n_shards}"
             )
 
-        pc, pr = _partials(params, images, batch, dropout_rng, with_dropout=True)
+        pc, pr = _partials(params, images, batch, dropout_rng, with_dropout=policy_dropout)
 
         rc = rr = None
         if not reference_free and ref_params is not None:
@@ -189,7 +194,7 @@ def make_stage2_cp_train_step(
     label_smoothing: float = 0.0,
     augment: bool = True,
     use_fused_ce: bool = False,
-    data_axis: Optional[str] = None,
+    data_axis=None,
 ) -> Callable:
     """fn(state, ref_params, batch, rng) -> (state, metrics), context-parallel.
 
@@ -203,7 +208,9 @@ def make_stage2_cp_train_step(
         label_smoothing, augment, use_fused_ce, data_axis,
     )
 
-    def step(state: TrainState, ref_params, batch, rng):
+    def step(state: TrainState, ref_params, batch, rng, base_params=None):
+        # base_params accepted for trainer signature parity (LoRA is not
+        # supported under CP — guarded in the trainer)
         rng = jax.random.fold_in(rng, state.step)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, ref_params, batch, rng
@@ -212,5 +219,32 @@ def make_stage2_cp_train_step(
         metrics["grad_norm"] = grad_norm
         metrics["skipped"] = new_state.skipped
         return new_state, metrics
+
+    return step
+
+
+def make_stage2_cp_eval_step(
+    module,
+    mesh: Mesh,
+    axis_name: str = "seq",
+    beta: float = 0.1,
+    reference_free: bool = False,
+    length_normalized: bool = False,
+    use_fused_ce: bool = False,
+    data_axis=None,
+) -> Callable:
+    """fn(params, ref_params, batch, base_params=None) -> metrics — the
+    deterministic CP analog of make_stage2_eval_step."""
+    module_cp = make_cp_module(module, axis_name)
+    loss_fn = make_stage2_cp_loss_fn(
+        module_cp, mesh, axis_name, beta, reference_free, length_normalized,
+        augment=False, use_fused_ce=use_fused_ce, data_axis=data_axis,
+        policy_dropout=False,
+    )
+
+    def step(params, ref_params, batch, base_params=None):
+        loss, metrics = loss_fn(params, ref_params, batch, jax.random.PRNGKey(0))
+        metrics["loss"] = loss
+        return metrics
 
     return step

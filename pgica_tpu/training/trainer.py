@@ -386,30 +386,67 @@ class PreferenceGuidedTrainer:
         if self.mesh is not None and self.mesh.shape.get("model", 1) > 1 and lora is None:
             tp_mesh = self.mesh.mesh
 
-        train_step = jax.jit(
-            make_stage2_train_step(
-                self.model.module,
-                optimizer,
-                beta=float(cfg.get("dpo_beta", 0.1)),
-                reference_free=reference_free,
-                length_normalized=bool(cfg.get("length_normalized", False)),
-                label_smoothing=float(cfg.get("label_smoothing", 0.0)),
-                augment=True,
-                lora=lora,
-                mesh=tp_mesh,
-            ),
-            donate_argnums=(0,),
-        )
-        eval_step = jax.jit(
-            make_stage2_eval_step(
-                self.model.module,
-                beta=float(cfg.get("dpo_beta", 0.1)),
-                reference_free=reference_free,
-                length_normalized=bool(cfg.get("length_normalized", False)),
-                lora=lora,
-                mesh=tp_mesh,
+        # Context parallelism (mesh.seq > 1): the decoder's sequence dim is
+        # sharded over the 'seq' axis through the loss (training/cp_step.py).
+        cp = self.mesh is not None and self.mesh.shape.get("seq", 1) > 1
+        if cp:
+            if lora is not None or tp_mesh is not None:
+                raise ValueError(
+                    "mesh.seq context parallelism composes with dcn/data/fsdp "
+                    "axes but not with LoRA or a >1 model axis"
+                )
+            from pgica_tpu.training.cp_step import (
+                make_stage2_cp_eval_step,
+                make_stage2_cp_train_step,
             )
-        )
+
+            seq_len = int(self.config.get("data.max_caption_length", 128))
+            if seq_len % self.mesh.shape["seq"] != 0:
+                raise ValueError(
+                    f"max_caption_length {seq_len} not divisible by mesh.seq "
+                    f"{self.mesh.shape['seq']}"
+                )
+            common = dict(
+                mesh=self.mesh.mesh, axis_name="seq",
+                beta=float(cfg.get("dpo_beta", 0.1)),
+                reference_free=reference_free,
+                length_normalized=bool(cfg.get("length_normalized", False)),
+                data_axis=("dcn", "data", "fsdp"),
+            )
+            train_step = jax.jit(
+                make_stage2_cp_train_step(
+                    self.model.module, optimizer, augment=True,
+                    label_smoothing=float(cfg.get("label_smoothing", 0.0)),
+                    **common,
+                ),
+                donate_argnums=(0,),
+            )
+            eval_step = jax.jit(make_stage2_cp_eval_step(self.model.module, **common))
+        else:
+            train_step = jax.jit(
+                make_stage2_train_step(
+                    self.model.module,
+                    optimizer,
+                    beta=float(cfg.get("dpo_beta", 0.1)),
+                    reference_free=reference_free,
+                    length_normalized=bool(cfg.get("length_normalized", False)),
+                    label_smoothing=float(cfg.get("label_smoothing", 0.0)),
+                    augment=True,
+                    lora=lora,
+                    mesh=tp_mesh,
+                ),
+                donate_argnums=(0,),
+            )
+            eval_step = jax.jit(
+                make_stage2_eval_step(
+                    self.model.module,
+                    beta=float(cfg.get("dpo_beta", 0.1)),
+                    reference_free=reference_free,
+                    length_normalized=bool(cfg.get("length_normalized", False)),
+                    lora=lora,
+                    mesh=tp_mesh,
+                )
+            )
         rng = prng.purpose_key(prng.root_key(self.seed), "train_stage2")
 
         logger.info("Stage 2: %d epochs x %d steps", num_epochs, len(self.preference_train_loader))

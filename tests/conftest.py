@@ -224,6 +224,7 @@ _SLOW_NODEIDS = (
     "test_training.py::TestGradientAccumulation",
     "test_training.py::TestReviewRegressions",
     "test_training.py::TestPreemptionRecovery",
+    "test_training.py::TestContextParallelTrainer",
     "test_training.py::TestOptim::test_frozen_params_unchanged_after_step",
     "test_parallel.py::TestDCNAxis::test_stage1_and_stage2_step_on_dcn_mesh",
     "test_parallel.py::TestContextParallelStage2::test_train_step_matches_unsharded",

@@ -14,12 +14,12 @@ from pgica_tpu.parallel.sharding import infer_param_spec, make_param_shardings, 
 class TestMeshContext:
     def test_auto_data_axis(self):
         mesh = MeshContext(data=-1)
-        assert mesh.shape == {"dcn": 1, "data": 8, "fsdp": 1, "model": 1}
+        assert mesh.shape == {"dcn": 1, "data": 8, "fsdp": 1, "model": 1, "seq": 1}
         assert mesh.num_devices == 8
 
     def test_tp_mesh(self):
         mesh = MeshContext(data=-1, model=2)
-        assert mesh.shape == {"dcn": 1, "data": 4, "fsdp": 1, "model": 2}
+        assert mesh.shape == {"dcn": 1, "data": 4, "fsdp": 1, "model": 2, "seq": 1}
 
     def test_fsdp_mesh(self):
         mesh = MeshContext(data=2, fsdp=4, model=1)

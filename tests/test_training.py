@@ -410,3 +410,68 @@ class TestPreemptionRecovery:
         messages = " ".join(r.message for r in caplog.records)
         assert "Resumed optimizer state" in messages, messages
         assert "starting fresh" not in messages
+
+
+class TestContextParallelTrainer:
+    """mesh.seq > 1 routes stage 2 through the CP shard_map step."""
+
+    def test_stage2_trains_under_seq_mesh(self, model, tokenizer, config_dict, tmp_path):
+        from pgica_tpu.parallel.mesh import MeshContext
+
+        config_dict["training"]["stage1"]["num_epochs"] = 0
+        config_dict["training"]["stage2"]["num_epochs"] = 1
+        config_dict["paths"] = {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        }
+        cfg = Config(config_dict=config_dict)
+        cfg.set("data.max_caption_length", SEQ)
+        cfg.set("mesh.seq", 2)
+
+        items = []
+        for b in range(2):
+            batch = preference_batch(tokenizer, n=B, seed=b)
+            for i in range(B):
+                items.append({k: np.asarray(v[i]) for k, v in batch.items()})
+        mesh = MeshContext(data=4, seq=2)
+        assert mesh.shape["seq"] == 2
+        trainer = PreferenceGuidedTrainer(
+            model, cfg,
+            preference_train_loader=DataLoader(_ListDS(items), B, drop_last=True, prefetch=0),
+            preference_val_loader=DataLoader(_ListDS(items[:B]), B, prefetch=0),
+            output_dir=str(tmp_path / "out"),
+            mesh=mesh,
+        )
+        out = trainer.train_stage2()
+        assert np.isfinite(out["best_val_loss"])
+
+    def test_seq_mesh_rejects_lora(self, tokenizer, config_dict, tmp_path):
+        from pgica_tpu.parallel.mesh import MeshContext
+
+        from pgica_tpu.models.lora import normalize_lora_config
+
+        lora_model = PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=PROJ,
+            tokenizer=tokenizer, max_caption_length=SEQ, image_size=IMG, seed=0,
+            lora_config=normalize_lora_config({"r": 2, "lora_alpha": 4}),
+        )
+        config_dict["training"]["stage2"]["num_epochs"] = 1
+        config_dict["paths"] = {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        }
+        cfg = Config(config_dict=config_dict)
+        cfg.set("mesh.seq", 2)
+        items = []
+        batch = preference_batch(tokenizer, n=B, seed=0)
+        for i in range(B):
+            items.append({k: np.asarray(v[i]) for k, v in batch.items()})
+        trainer = PreferenceGuidedTrainer(
+            lora_model, cfg,
+            preference_train_loader=DataLoader(_ListDS(items), B, drop_last=True, prefetch=0),
+            preference_val_loader=DataLoader(_ListDS(items[:B]), B, prefetch=0),
+            output_dir=str(tmp_path / "out"),
+            mesh=MeshContext(data=4, seq=2),
+        )
+        with pytest.raises(ValueError, match="LoRA"):
+            trainer.train_stage2()
