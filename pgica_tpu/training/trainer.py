@@ -92,6 +92,7 @@ class PreferenceGuidedTrainer:
         self.global_step = 0
         self.current_epoch = 0
         self._lora_base = None  # frozen base params during LoRA training
+        self._zero1_gather = None  # flat-shard -> param-tree fn under mesh.zero1
         self.best_val_loss: Dict[int, float] = {1: float("inf"), 2: float("inf")}
         self.early_stopping_patience = config.get("training.early_stopping_patience", 3)
         self.logging_steps = config.get("training.logging_steps", 100)
@@ -215,6 +216,79 @@ class PreferenceGuidedTrainer:
 
         return shard_params(params, self.mesh.mesh)
 
+    # ------------------------------------------------------------- ZeRO-1
+
+    def _zero1_active(self, lora) -> bool:
+        """``mesh.zero1`` routes training through the explicit
+        reduce-scatter step (parallel/zero1.py): flat parameter buffer +
+        Adam moments sharded over the ``data`` axis."""
+        if not bool(self.config.get("mesh.zero1", False)):
+            return False
+        if self.mesh is None or self.mesh.shape.get("data", 1) <= 1:
+            raise ValueError("mesh.zero1 requires a device mesh with data > 1")
+        if lora is not None:
+            raise ValueError(
+                "mesh.zero1 does not compose with LoRA (the adapter "
+                "optimizer state is tiny; use the default path)"
+            )
+        shape = self.mesh.shape
+        bad = {a: shape.get(a, 1) for a in ("dcn", "fsdp", "model", "seq") if shape.get(a, 1) > 1}
+        if bad:
+            raise ValueError(
+                f"mesh.zero1 shards the optimizer state over the data axis "
+                f"only; set {sorted(bad)} to 1 (got {bad})"
+            )
+        return True
+
+    def _init_zero1(self, stage: int, cfg, steps_per_epoch: int, loss_fn):
+        """Build (state, jitted step) for the ZeRO-1 path of ``stage``."""
+        from pgica_tpu.parallel.zero1 import make_zero1_train_step
+        from pgica_tpu.training.optim import freeze_labels, warmup_cosine_schedule
+
+        if int(cfg.get("gradient_accumulation_steps", 1)) > 1:
+            raise ValueError(
+                "mesh.zero1 does not support gradient_accumulation_steps > 1 "
+                "(accumulate via a larger data axis instead)"
+            )
+        if self.max_steps_per_epoch is not None:
+            steps_per_epoch = min(steps_per_epoch, self.max_steps_per_epoch)
+        total_updates = max(1, steps_per_epoch * int(cfg.get("num_epochs", 1)))
+        schedule = warmup_cosine_schedule(
+            float(cfg.get("learning_rate", 5e-5)),
+            int(cfg.get("warmup_steps", 500)),
+            total_updates,
+        )
+        mask = None
+        if self.model.freeze_vision_backbone or self.model.freeze_text_backbone:
+            labels = freeze_labels(
+                self.model.params,
+                self.model.freeze_vision_backbone,
+                self.model.freeze_text_backbone,
+            )
+            mask = jax.tree.map(lambda label: label == "train", labels)
+        init_fn, step_fn = make_zero1_train_step(
+            loss_fn,
+            mesh=self.mesh.mesh,
+            axis_name="data",
+            learning_rate=schedule,
+            weight_decay=float(cfg.get("weight_decay", 0.01)),
+            max_grad_norm=float(cfg.get("max_grad_norm", 1.0)),
+            trainable_mask=mask,
+        )
+        state = self._maybe_resume_opt_state(init_fn(self.model.params))
+        self._zero1_gather = step_fn.gather_params
+        logger.info(
+            "Stage %d under ZeRO-1: flat Adam state sharded over data=%d",
+            stage, self.mesh.shape["data"],
+        )
+        return state, jax.jit(step_fn, donate_argnums=(0,))
+
+    def _train_params(self, state):
+        """Full parameter tree for a train state (gathers under ZeRO-1)."""
+        if hasattr(state, "param_shard"):
+            return self._zero1_gather(state)
+        return state.params
+
     def _check_early_stopping(self, stage: int, val_loss: float, counter: int) -> int:
         """Returns updated patience counter; caller stops when it exceeds patience."""
         if val_loss < self.best_val_loss[stage]:
@@ -252,7 +326,7 @@ class PreferenceGuidedTrainer:
         if self._lora_base is not None:
             self.model.lora = state.params
         else:
-            self.model.params = state.params
+            self.model.params = self._train_params(state)
 
     def _ckpt_payload(self, state) -> Dict[str, Any]:
         """Checkpoint content: full params, or frozen base + adapter factors."""
@@ -264,7 +338,7 @@ class PreferenceGuidedTrainer:
                 "lora": lora_to_tree(state.params),
                 "lora_config": dict(self.model.lora_config),
             }
-        return {"params": state.params}
+        return {"params": self._train_params(state)}
 
     # ------------------------------------------------------------- stage 1
 
@@ -273,23 +347,44 @@ class PreferenceGuidedTrainer:
             raise ValueError("Stage 1 requires a contrastive train_loader")
         cfg = self._stage_cfg(1)
         num_epochs = int(cfg.get("num_epochs", 1))
-        optimizer = self._make_optimizer(1, len(self.train_loader))
         lora = self._lora_static
-        if lora is not None:
-            self._lora_base = self.model.params  # frozen; passed per-step
-            trainable = self.model.lora
-        else:
-            self._lora_base = None
-            trainable = self._shard_state_params(self.model.params)
-        state = self._maybe_resume_opt_state(TrainState.create(trainable, optimizer))
         temperature = float(self.config.get("model.temperature", 0.5))
 
-        train_step = jax.jit(
-            make_stage1_train_step(
-                self.model.module, optimizer, temperature, augment=True, lora=lora
-            ),
-            donate_argnums=(0,),
-        )
+        if self._zero1_active(lora):
+            from pgica_tpu.training.train_step import stage1_loss_fn
+
+            self._lora_base = None
+            module = self.model.module
+
+            def z_loss(params, batch, rng):
+                # Explicit-collective NT-Xent: negatives all-gathered over
+                # the data axis inside the shard_map body.
+                return stage1_loss_fn(
+                    params, batch, rng, module, temperature,
+                    augment=True, axis_name="data",
+                )
+
+            state, z_step = self._init_zero1(1, cfg, len(self.train_loader), z_loss)
+
+            def train_step(state, batch, rng, base_params=None):
+                return z_step(state, batch, rng)
+
+        else:
+            self._zero1_gather = None
+            optimizer = self._make_optimizer(1, len(self.train_loader))
+            if lora is not None:
+                self._lora_base = self.model.params  # frozen; passed per-step
+                trainable = self.model.lora
+            else:
+                self._lora_base = None
+                trainable = self._shard_state_params(self.model.params)
+            state = self._maybe_resume_opt_state(TrainState.create(trainable, optimizer))
+            train_step = jax.jit(
+                make_stage1_train_step(
+                    self.model.module, optimizer, temperature, augment=True, lora=lora
+                ),
+                donate_argnums=(0,),
+            )
         eval_step = jax.jit(make_stage1_eval_step(self.model.module, temperature, lora=lora))
         # Purpose-keyed stream (core/prng.py): the step folds in state.step,
         # so a resumed run replays the exact same per-step keys.
@@ -305,7 +400,7 @@ class PreferenceGuidedTrainer:
                 skip_steps=skip_steps if epoch == start_epoch else 0,
             )
             val_loss = self._validate(
-                state.params, self.val_loader, eval_step, stage=1, epoch=epoch
+                self._train_params(state), self.val_loader, eval_step, stage=1, epoch=epoch
             )
             record = {"epoch": epoch, "train_loss": epoch_metrics.get("loss"), "val_loss": val_loss}
             self.history["stage1"].append(record)
@@ -346,9 +441,12 @@ class PreferenceGuidedTrainer:
         if self.preference_train_loader is None:
             raise ValueError("Stage 2 requires a preference_train_loader")
 
-        optimizer = self._make_optimizer(2, len(self.preference_train_loader))
         lora = self._lora_static
         reference_free = bool(cfg.get("reference_free", False))
+        zero1 = self._zero1_active(lora)
+        if not zero1:
+            self._zero1_gather = None
+            optimizer = self._make_optimizer(2, len(self.preference_train_loader))
         if lora is not None:
             self._lora_base = self.model.params
             trainable = self.model.lora  # carries over any stage-1 adaptation
@@ -377,19 +475,53 @@ class PreferenceGuidedTrainer:
                 ref_params = cast_floating(
                     jax.tree.map(lambda x: jnp.array(x, copy=True), trainable), ref_dtype
                 )
-        state = self._maybe_resume_opt_state(TrainState.create(trainable, optimizer))
+        beta = float(cfg.get("dpo_beta", 0.1))
+        length_normalized = bool(cfg.get("length_normalized", False))
+        label_smoothing = float(cfg.get("label_smoothing", 0.0))
+        if zero1:
+            from pgica_tpu.training.train_step import stage2_loss_fn
+
+            module = self.model.module
+            ref_const = ref_params  # static over stage 2; closed over the step
+
+            def z_loss(params, batch, rng):
+                return stage2_loss_fn(
+                    params, ref_const, batch, rng, module, beta,
+                    reference_free, length_normalized, label_smoothing, True,
+                )
+
+            state, z_step = self._init_zero1(
+                2, cfg, len(self.preference_train_loader), z_loss
+            )
+
+            def zero1_train_step(state, ref, batch, rng, base_params=None):
+                return z_step(state, batch, rng)
+
+        else:
+            state = self._maybe_resume_opt_state(TrainState.create(trainable, optimizer))
 
         # Under tensor parallelism the DPO logprob reduction goes through the
         # vocab-parallel shard_map path (sequence_logprobs_from_hidden) so the
         # model-axis-sharded wte is never gathered.
         tp_mesh = None
-        if self.mesh is not None and self.mesh.shape.get("model", 1) > 1 and lora is None:
+        if not zero1 and self.mesh is not None and self.mesh.shape.get("model", 1) > 1 and lora is None:
             tp_mesh = self.mesh.mesh
 
         # Context parallelism (mesh.seq > 1): the decoder's sequence dim is
         # sharded over the 'seq' axis through the loss (training/cp_step.py).
         cp = self.mesh is not None and self.mesh.shape.get("seq", 1) > 1
-        if cp:
+        if zero1:
+            # _zero1_active already rejected seq/model > 1 meshes.
+            train_step = zero1_train_step
+            eval_step = jax.jit(
+                make_stage2_eval_step(
+                    self.model.module,
+                    beta=beta,
+                    reference_free=reference_free,
+                    length_normalized=length_normalized,
+                )
+            )
+        elif cp:
             if lora is not None or tp_mesh is not None:
                 raise ValueError(
                     "mesh.seq context parallelism composes with dcn/data/fsdp "
@@ -460,7 +592,7 @@ class PreferenceGuidedTrainer:
                 skip_steps=skip_steps if epoch == start_epoch else 0,
             )
             val_loss = self._validate(
-                state.params, self.preference_val_loader, eval_step,
+                self._train_params(state), self.preference_val_loader, eval_step,
                 stage=2, epoch=epoch, ref_params=ref_params,
             )
             record = {"epoch": epoch, "train_loss": epoch_metrics.get("loss"), "val_loss": val_loss}

@@ -475,3 +475,116 @@ class TestContextParallelTrainer:
         )
         with pytest.raises(ValueError, match="LoRA"):
             trainer.train_stage2()
+
+
+class TestZero1Trainer:
+    """mesh.zero1 routes both stages through the explicit reduce-scatter
+    ZeRO-1 step (parallel/zero1.py): flat data-axis-sharded Adam state."""
+
+    def _items(self, maker, tokenizer, n):
+        items = []
+        for seed in range(n // B):
+            batch = maker(tokenizer, n=B, seed=seed)
+            for i in range(B):
+                items.append({k: np.asarray(v[i]) for k, v in batch.items()})
+        return items
+
+    def test_stage1_trains_and_checkpoints(self, model, tokenizer, config_dict, tmp_path):
+        from pgica_tpu.parallel.mesh import MeshContext
+
+        config_dict["training"]["stage1"]["num_epochs"] = 1
+        config_dict["training"]["stage1"]["warmup_steps"] = 1
+        config_dict["training"]["stage1"]["learning_rate"] = 1e-2
+        config_dict["training"]["stage2"]["num_epochs"] = 0
+        config_dict["paths"] = {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        }
+        cfg = Config(config_dict=config_dict)
+        cfg.set("mesh.zero1", True)
+        items = self._items(contrastive_batch, tokenizer, 16)
+        before_train = np.asarray(
+            model.params["text_encoder"]["projection"]["fc1"]["kernel"]
+        ).copy()
+        before_frozen = np.asarray(
+            model.params["vision_encoder"]["backbone"]["cls_token"]
+        ).copy()
+        trainer = PreferenceGuidedTrainer(
+            model, cfg,
+            train_loader=DataLoader(_ListDS(items), 8, drop_last=True, prefetch=0),
+            val_loader=DataLoader(_ListDS(items[:8]), 8, prefetch=0),
+            output_dir=str(tmp_path / "out"),
+            mesh=MeshContext(data=8),
+        )
+        out = trainer.train_stage1()
+        assert np.isfinite(out["best_val_loss"])
+        after = np.asarray(model.params["text_encoder"]["projection"]["fc1"]["kernel"])
+        assert not np.allclose(after, before_train), "ZeRO-1 step did not update params"
+        # Frozen vision backbone stays frozen through the flat update mask.
+        np.testing.assert_array_equal(
+            np.asarray(model.params["vision_encoder"]["backbone"]["cls_token"]),
+            before_frozen,
+        )
+        ckpt = tmp_path / "ckpt" / "best_model_stage1"
+        assert ckpt.exists(), "gathered-params checkpoint missing under ZeRO-1"
+
+    def test_stage2_trains_with_frozen_reference(self, model, tokenizer, config_dict, tmp_path):
+        from pgica_tpu.parallel.mesh import MeshContext
+
+        config_dict["training"]["stage1"]["num_epochs"] = 0
+        config_dict["training"]["stage2"]["num_epochs"] = 1
+        config_dict["paths"] = {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        }
+        cfg = Config(config_dict=config_dict)
+        cfg.set("mesh.zero1", True)
+        items = self._items(preference_batch, tokenizer, 16)
+        trainer = PreferenceGuidedTrainer(
+            model, cfg,
+            preference_train_loader=DataLoader(_ListDS(items), 8, drop_last=True, prefetch=0),
+            preference_val_loader=DataLoader(_ListDS(items[:8]), 8, prefetch=0),
+            output_dir=str(tmp_path / "out"),
+            mesh=MeshContext(data=8),
+        )
+        out = trainer.train_stage2()
+        assert np.isfinite(out["best_val_loss"])
+
+    def test_zero1_rejects_grad_accum_and_lora(self, model, tokenizer, config_dict, tmp_path):
+        from pgica_tpu.parallel.mesh import MeshContext
+
+        from pgica_tpu.models.lora import normalize_lora_config
+
+        config_dict["training"]["stage1"]["num_epochs"] = 1
+        config_dict["training"]["stage1"]["gradient_accumulation_steps"] = 2
+        config_dict["paths"] = {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        }
+        cfg = Config(config_dict=config_dict)
+        cfg.set("mesh.zero1", True)
+        items = self._items(contrastive_batch, tokenizer, 16)
+        trainer = PreferenceGuidedTrainer(
+            model, cfg,
+            train_loader=DataLoader(_ListDS(items), 8, drop_last=True, prefetch=0),
+            output_dir=str(tmp_path / "out"),
+            mesh=MeshContext(data=8),
+        )
+        with pytest.raises(ValueError, match="accumulation"):
+            trainer.train_stage1()
+
+        lora_model = PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=PROJ,
+            tokenizer=tokenizer, max_caption_length=SEQ, image_size=IMG, seed=0,
+            lora_config=normalize_lora_config({"r": 2, "lora_alpha": 4}),
+        )
+        cfg2 = Config(config_dict=config_dict)
+        cfg2.set("mesh.zero1", True)
+        trainer2 = PreferenceGuidedTrainer(
+            lora_model, cfg2,
+            train_loader=DataLoader(_ListDS(items), 8, drop_last=True, prefetch=0),
+            output_dir=str(tmp_path / "out2"),
+            mesh=MeshContext(data=8),
+        )
+        with pytest.raises(ValueError, match="LoRA"):
+            trainer2.train_stage1()
