@@ -352,6 +352,28 @@ def _fork_getitem(i):
     return _FORK_DATASET[i]
 
 
+class _BatchSource:
+    """Random-access source of COLLATED batches for the grain worker pool.
+
+    Parallelism granularity is one batch per worker task (grain fans
+    batches out across spawned processes and prefetches ahead), so image
+    decode + tokenization for consecutive batches overlap both each other
+    and device compute. Pickled into spawned workers — the data modules
+    import no jax, so worker startup stays cheap.
+    """
+
+    def __init__(self, dataset, batches, collate_fn):
+        self.dataset = dataset
+        self.batches = batches
+        self.collate_fn = collate_fn
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def __getitem__(self, i: int):
+        return self.collate_fn([self.dataset[j] for j in self.batches[i]])
+
+
 class DataLoader:
     """Minimal host-side batching iterator with background prefetch.
 
@@ -361,7 +383,10 @@ class DataLoader:
     fan out over worker THREADS (PIL decode releases the GIL) or, for
     GIL-bound work like tokenization at real-data scale, worker PROCESSES
     (``workers_mode="process"``, fork-inherited dataset — no pickling of the
-    dataset object itself).
+    dataset object itself). ``workers_mode="grain"`` instead hands whole
+    batches to a grain multiprocess pipeline (spawned workers, batch-level
+    fan-out with prefetch) — the production choice for many-core hosts
+    feeding a pod slice.
     """
 
     def __init__(
@@ -443,9 +468,34 @@ class DataLoader:
         resumed run replays the exact same batch order for that epoch."""
         self._epoch = int(epoch)
 
+    def _grain_iter(self, batches):
+        """Multiprocess batch pipeline via grain (``workers_mode="grain"``):
+        spawned worker processes each fetch+collate whole batches, with
+        prefetch ahead of the consumer. Deterministic: batch order is fixed
+        by ``_batch_indices`` before workers fan out."""
+        import grain.python as pygrain
+
+        src = _BatchSource(self.dataset, batches, self.collate_fn)
+        sampler = pygrain.SequentialSampler(
+            num_records=len(src),
+            shard_options=pygrain.NoSharding(),
+        )
+        dl = pygrain.DataLoader(
+            data_source=src,
+            sampler=sampler,
+            worker_count=self.num_workers,
+            read_options=pygrain.ReadOptions(
+                num_threads=1, prefetch_buffer_size=max(self.prefetch, 1)
+            ),
+        )
+        yield from dl
+
     def __iter__(self):
         batches = self._batch_indices()
         self._epoch += 1
+        if self.workers_mode == "grain" and self.num_workers > 0:
+            yield from self._grain_iter(batches)
+            return
         if self.prefetch <= 0:
             for idx in batches:
                 yield self._fetch(idx)

@@ -67,6 +67,7 @@ def main():
             ("inline", 0, "thread"),
             (f"{args.workers} threads", args.workers, "thread"),
             (f"{args.workers} processes", args.workers, "process"),
+            (f"{args.workers} grain", args.workers, "grain"),
         ):
             # warmup epoch (page cache), then timed epoch
             run(root, args.batch, workers, mode)

@@ -460,6 +460,27 @@ class TestWorkerModes:
         finally:
             proc.close()
 
+    @pytest.mark.slow
+    def test_grain_mode_matches_inline(self, temp_dataset_dir):
+        """grain spawns worker processes (picklable dataset) that fetch and
+        collate whole batches; content must match the inline path exactly."""
+        pytest.importorskip("grain")
+        from pgica_tpu.data.loader import ConceptualCaptionsDataset, DataLoader
+        from pgica_tpu.data.preprocessing import ImageProcessor, TextProcessor
+
+        ds = ConceptualCaptionsDataset(
+            temp_dataset_dir, ImageProcessor(image_size=32), TextProcessor(max_length=16)
+        )
+        inline = DataLoader(ds, batch_size=4)
+        grain_dl = DataLoader(ds, batch_size=4, num_workers=2, workers_mode="grain")
+        got = list(grain_dl)
+        want = list(inline)
+        assert len(got) == len(want)
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["caption_ids"], b["caption_ids"])
+            assert a["raw_caption"] == b["raw_caption"]
+
 
 class TestExactUnicodePretokenizer:
     """GPT-2 \\p{L}/\\p{N} classes are exact (generated Unicode tables), not
