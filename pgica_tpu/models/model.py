@@ -374,8 +374,10 @@ class PreferenceGuidedCaptioningModel:
         params = self._inference_params()
         images = jnp.asarray(images)
         t0 = time.perf_counter()
+        # No sync between encode and decode: both dispatches chain on device
+        # (a host round-trip between them costs ~1 RTT per call; phase times
+        # below are enqueue-side, only the total is a true wall-clock).
         vision = self._jit_encode_image(params, images)
-        vision["embeddings"].block_until_ready()
         t_encode = time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -93,6 +93,53 @@ def build(batch_size: int, stage: int = 1, dropout: float = 0.1, remat: bool = F
     return step, state, cost_fn
 
 
+def build_decode(batch_size: int, max_length: int):
+    """Greedy-decode profile target: returns (run_fn, cost_fn)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pgica_tpu.data.tokenizer import CaptionTokenizer
+    from pgica_tpu.generation.decode import _greedy_or_sample
+    from pgica_tpu.models import PreferenceGuidedCaptioningModel
+
+    tokenizer = CaptionTokenizer()
+    model = PreferenceGuidedCaptioningModel(
+        vision_model="openai/clip-vit-base-patch32", text_model="gpt2-medium",
+        projection_dim=512, tokenizer=tokenizer, max_caption_length=128,
+        dtype=jnp.bfloat16, seed=0, vocab_size=GPT2_VOCAB,
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32))
+    params = model._inference_params()
+    vision = model._jit_encode_image(params, images)["embeddings"]  # outside the profiled region
+    kw = dict(
+        temperature=jnp.float32(1.0), top_p=jnp.float32(1.0),
+        repetition_penalty=jnp.float32(1.0),
+        max_length=max_length, do_sample=False,
+        eos_token_id=tokenizer.eos_token_id, pad_token_id=tokenizer.pad_token_id,
+    )
+
+    def run():
+        seqs = _greedy_or_sample(
+            model.module, params, vision, jax.random.PRNGKey(0), **kw
+        )
+        # device_get, not block_until_ready: under the axon tunnel the
+        # latter returns at enqueue time and undercounts by ~60x.
+        return np.asarray(seqs)
+
+    def cost_fn():
+        return (
+            _greedy_or_sample.lower(
+                model.module, params, vision, jax.random.PRNGKey(0), **kw
+            )
+            .compile()
+            .cost_analysis()
+        )
+
+    return run, cost_fn
+
+
 def measure(step, state, steps: int, key):
     import jax
 
@@ -116,7 +163,10 @@ def op_table(trace_dir: Path, top: int = 25):
 
     import gzip
 
-    xplanes = sorted(trace_dir.rglob("*.xplane.pb")) + sorted(trace_dir.rglob("*.xplane.pb.gz"))
+    xplanes = sorted(
+        list(trace_dir.rglob("*.xplane.pb")) + list(trace_dir.rglob("*.xplane.pb.gz")),
+        key=lambda p: p.stat().st_mtime,
+    )
     if not xplanes:
         return None, "no xplane found"
     raw = xplanes[-1].read_bytes()
@@ -165,6 +215,9 @@ def op_table(trace_dir: Path, top: int = 25):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--decode", action="store_true",
+                    help="profile the greedy decode call instead of a train step")
+    ap.add_argument("--max-length", type=int, default=64, help="decode length (--decode)")
     ap.add_argument("--batch", type=int, default=0, help="0 = stage default (128 / 32)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--out", type=str, default="results")
@@ -206,6 +259,48 @@ def main():
     trace_dir.mkdir(parents=True, exist_ok=True)
 
     print(f"backend={jax.default_backend()}", file=sys.stderr)
+
+    if args.decode:
+        trace_dir = out_dir / "profile_decode"
+        trace_dir.mkdir(parents=True, exist_ok=True)
+        batch_size = args.batch or 32
+        run, cost_fn = build_decode(batch_size, max_length=args.max_length)
+        run()  # compile
+        t0 = time.time()
+        for _ in range(args.steps):
+            run()
+        sec_per_call = (time.time() - t0) / args.steps
+        cost = cost_fn()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        with jax.profiler.trace(str(trace_dir)):
+            run()
+        cps = batch_size / sec_per_call
+        rows, err = op_table(trace_dir)
+        md = [
+            "# Greedy-decode per-op profile (real TPU, true vocab 50,262)",
+            "",
+            f"- batch {batch_size}, len {args.max_length}, bf16 inference params, "
+            f"{args.steps} timed calls",
+            f"- call time: **{sec_per_call*1000:.1f} ms** -> **{cps:.1f} captions/s** "
+            f"({sec_per_call*1000/args.max_length:.2f} ms/token-step)",
+            f"- compiled HLO cost: {flops/1e12:.3f} TFLOP/call",
+            "",
+        ]
+        if rows:
+            md += ["## Top HLO ops by device time (1 traced call, 'XLA Ops' plane line)", "",
+                   "| HLO op group (kind + result type) | device ms | % of op time | #events |",
+                   "|---|---|---|---|"]
+            md += [f"| `{n}` | {ms:.2f} | {pct:.1f}% | {cnt} |" for n, ms, pct, cnt in rows]
+        else:
+            md.append(f"(per-op table unavailable: {err})")
+        report = out_dir / "PROFILE_decode.md"
+        report.write_text("\n".join(md) + "\n")
+        print("\n".join(md[:6]))
+        print(f"wrote {report}")
+        return 0
+
     batch_size = args.batch or (128 if args.stage == 1 else 32)
     # stage-2 keeps threefry keys (the rbg variant of that graph crashes this
     # stack's remote compile helper — see bench.py)
