@@ -210,7 +210,8 @@ def temp_preference_dataset(tmp_path, rng):
 
 
 # ---------------------------------------------------------------------------
-# Fast gate: `pytest -m "not slow"` finishes in <5 min on one CPU core.
+# Fast gate: `pytest -m "not slow"` finishes in ~8 min on one CPU core
+# (the round-2 CP/ZeRO equivalence tests pushed the full suite past 30 min).
 # Tests below were measured >=8 s each (jit-compile heavy: full trainer loops,
 # 8-device mesh steps, end-to-end converters); the full suite runs them too,
 # just not in the quick gate. Re-measure with `pytest --durations=50`.
@@ -231,6 +232,10 @@ _SLOW_NODEIDS = (
     "test_parallel.py::TestZero1",
     "test_parallel.py::TestContextParallelStage2::test_fused_ce_path_matches",
     "test_parallel.py::TestContextParallelStage2::test_cp_composed_with_data_parallelism",
+    "test_parallel.py::TestContextParallelStage2::test_loss_and_grads_match_unsharded",
+    "test_parallel.py::TestContextParallelLM::test_lm_forward_matches_unsharded",
+    "test_training.py::TestZero1Trainer::test_stage1_trains_and_checkpoints",
+    "test_training.py::TestZero1Trainer::test_stage2_trains_with_frozen_reference",
     "test_parallel.py::TestScaledConfigShapes",
     "test_parallel.py::TestShardedTraining",
     "test_parallel.py::TestVocabParallelFusedCE::test_grads_with_padded_vocab",

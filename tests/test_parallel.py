@@ -351,7 +351,7 @@ class TestDCNAxis:
 
     def test_mesh_shapes_and_batch_sharding(self):
         ctx = MeshContext(dcn=2, data=2, fsdp=1, model=2, devices=jax.devices()[:8])
-        assert ctx.shape == {"dcn": 2, "data": 2, "fsdp": 1, "model": 2}
+        assert ctx.shape == {"dcn": 2, "data": 2, "fsdp": 1, "model": 2, "seq": 1}
         assert ctx.data_parallel_size == 4
         batch = ctx.shard_batch({"x": np.zeros((8, 4), np.float32)})
         assert batch["x"].sharding.spec == P(("dcn", "data", "fsdp"))
