@@ -115,7 +115,9 @@ def run_bench(batch_size: int, steps: int = 10, warmup: int = 2) -> float:
     return pairs_per_sec
 
 
-def run_stage2_bench(batch_size: int = 32, steps: int = 5, warmup: int = 2) -> float:
+def run_stage2_bench(batch_size: int = 32, steps: int = 15, warmup: int = 3) -> float:
+    # >=15 timed steps: 5-step runs over the device tunnel showed ~20%
+    # spread (83.9 vs 106.3 pairs/s measured minutes apart)
     """DPO pairs/sec: policy + frozen bf16 reference logprobs, one jitted step."""
     import jax
     import jax.numpy as jnp
