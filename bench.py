@@ -5,8 +5,9 @@ Runs on whatever accelerator JAX exposes (the real TPU under axon). Measures
 the Stage-1 contrastive train step (the dominant phase of the reference's
 dual-stage pipeline) on synthetic data at reference-scale shapes:
 frozen CLIP ViT-B/32 + GPT-2 Medium at the TRUE GPT-2 vocabulary
-(50,257 + 5 specials = 50,262 rows -> 867M total params, matching the
-reference budget, README.md:141-142), 224x224 images, 128-token captions,
+(50,257 + 5 specials = 50,262 rows -> 803M live params; the reference's
+867M, README.md:141-142, includes the ~63M CLIP text tower it never runs —
+see PARITY.md), 224x224 images, 128-token captions,
 bf16 compute, donated buffers. Remat is off (activations fit at these
 shapes; the bench grid measured remat costing ~10%) and attention uses the
 XLA path (faster than the flash kernel at seq 128 / head_dim 64 — see
