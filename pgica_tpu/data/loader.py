@@ -490,9 +490,22 @@ class DataLoader:
         )
         yield from dl
 
-    def __iter__(self):
-        batches = self._batch_indices()
+    def iter_batches(self, start: int = 0):
+        """Iterate this epoch's batches from index ``start``.
+
+        Mid-epoch resume path: the trainer passes the number of already-
+        consumed batches so they are never fetched (the naive path decodes
+        and discards them — O(epoch) wasted host work after a preemption).
+        The batch order is the same pinned per-epoch order as ``__iter__``.
+        """
+        batches = self._batch_indices()[start:]
         self._epoch += 1
+        return self._iterate(batches)
+
+    def __iter__(self):
+        return self.iter_batches(0)
+
+    def _iterate(self, batches):
         if self.workers_mode == "grain" and self.num_workers > 0:
             yield from self._grain_iter(batches)
             return

@@ -648,10 +648,21 @@ class PreferenceGuidedTrainer:
         n_items = 0
         if hasattr(loader, "set_epoch"):
             loader.set_epoch(epoch)  # deterministic per-epoch order for resume
-        iterator = loader
+        start_idx = 0
+        if skip_steps and hasattr(loader, "iter_batches"):
+            # O(1) resume: consumed batches are never fetched (the fallback
+            # below decodes and discards them).
+            base_iter = loader.iter_batches(skip_steps)
+            start_idx, skip_steps = skip_steps, 0
+        else:
+            base_iter = loader
+        iterator = base_iter
         if tqdm is not None and jax.process_index() == 0:
-            iterator = tqdm(loader, total=len(loader), desc=f"stage{stage} epoch {epoch}", leave=False)
-        for step_idx, batch in enumerate(iterator):
+            iterator = tqdm(
+                base_iter, total=len(loader), initial=start_idx,
+                desc=f"stage{stage} epoch {epoch}", leave=False,
+            )
+        for step_idx, batch in enumerate(iterator, start=start_idx):
             if self.max_steps_per_epoch is not None and step_idx >= self.max_steps_per_epoch:
                 break
             if step_idx < skip_steps:

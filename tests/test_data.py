@@ -482,6 +482,46 @@ class TestWorkerModes:
             assert a["raw_caption"] == b["raw_caption"]
 
 
+class TestIterBatches:
+    """O(1) mid-epoch resume: iter_batches(start) must replay the pinned
+    epoch order from `start` WITHOUT fetching the consumed prefix."""
+
+    class _Counting:
+        def __init__(self, ds):
+            self.ds = ds
+            self.calls = []
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            self.calls.append(i)
+            return self.ds[i]
+
+    def test_tail_matches_and_prefix_not_fetched(self, temp_dataset_dir):
+        from pgica_tpu.data.loader import ConceptualCaptionsDataset, DataLoader
+        from pgica_tpu.data.preprocessing import ImageProcessor, TextProcessor
+
+        ds = ConceptualCaptionsDataset(
+            temp_dataset_dir, ImageProcessor(image_size=32), TextProcessor(max_length=16)
+        )
+        proxy = self._Counting(ds)
+        dl = DataLoader(proxy, batch_size=2, shuffle=True, seed=7, prefetch=0)
+        dl.set_epoch(3)
+        full = list(dl)
+        assert len(full) >= 3
+        proxy.calls = []
+        dl.set_epoch(3)  # same pinned order
+        tail = list(dl.iter_batches(2))
+        assert len(tail) == len(full) - 2
+        for a, b in zip(full[2:], tail):
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["caption_ids"], b["caption_ids"])
+        fetched = len(proxy.calls)
+        expected = sum(b["image"].shape[0] for b in tail)
+        assert fetched == expected, "consumed prefix was fetched on resume"
+
+
 class TestExactUnicodePretokenizer:
     """GPT-2 \\p{L}/\\p{N} classes are exact (generated Unicode tables), not
     the round-1 'every non-ASCII codepoint is a letter' approximation."""
