@@ -161,14 +161,25 @@ def make_zero1_train_step(
             # 1. materialize full params: ONE fused all-gather over ICI
             flat = jax.lax.all_gather(param_flat_shard, axis_name, tiled=True)
             params = unflatten_tree(flat, spec)
-            # 2. local loss/grads (loss_fn may all-gather embeddings etc.)
-            step_rng = jax.random.fold_in(rng_in, step)
+            # 2. local loss/grads (loss_fn may all-gather embeddings etc.).
+            # Per-shard key: without the axis_index fold every shard would
+            # draw IDENTICAL augmentation crops / dropout masks for its
+            # local batch, silently diverging from the GSPMD path's
+            # batch-wide independent draws.
+            step_rng = jax.random.fold_in(
+                jax.random.fold_in(rng_in, step), jax.lax.axis_index(axis_name)
+            )
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_local, step_rng
             )
             # 3. reduce-scatter the flat gradient; /n for the pmean-loss grad
             gflat = flatten_tree(grads, spec)
             gshard = jax.lax.psum_scatter(gflat, axis_name, tiled=True) / n
+            # Frozen slices are zeroed BEFORE the norm so clipping matches
+            # the standard optimizer, where clip_by_global_norm sits inside
+            # the 'train' partition and never sees frozen-tower gradients.
+            if has_mask:
+                gshard = gshard * mask_shard
             # 4. global-norm clip from psum of shard square-sums
             gnorm = jnp.sqrt(jax.lax.psum(jnp.sum(gshard * gshard), axis_name))
             scale = jnp.minimum(1.0, max_grad_norm / jnp.maximum(gnorm, 1e-12))

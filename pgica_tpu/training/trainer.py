@@ -250,6 +250,17 @@ class PreferenceGuidedTrainer:
                 "mesh.zero1 does not support gradient_accumulation_steps > 1 "
                 "(accumulate via a larger data axis instead)"
             )
+        n_data = self.mesh.shape["data"]
+        loader = self.train_loader if stage == 1 else self.preference_train_loader
+        batch_size = int(
+            getattr(loader, "batch_size", 0) or cfg.get("batch_size", 0) or 0
+        )
+        if batch_size and batch_size % n_data:
+            raise ValueError(
+                f"mesh.zero1: global batch_size {batch_size} must be divisible "
+                f"by the data axis ({n_data}) — shard_map splits the batch "
+                f"evenly (GSPMD tolerates uneven shards; this mode does not)"
+            )
         if self.max_steps_per_epoch is not None:
             steps_per_epoch = min(steps_per_epoch, self.max_steps_per_epoch)
         total_updates = max(1, steps_per_epoch * int(cfg.get("num_epochs", 1)))
@@ -459,7 +470,9 @@ class PreferenceGuidedTrainer:
                 ref_params = apply_lora(self._lora_base, trainable, alpha=alpha, rank=rank)
         else:
             self._lora_base = None
-            trainable = self._shard_state_params(self.model.params)
+            # Under ZeRO-1 the step manages parameter layout itself; the
+            # GSPMD device_put here would only replicate a second full tree.
+            trainable = self.model.params if zero1 else self._shard_state_params(self.model.params)
             # Frozen reference policy = the policy at stage-2 start (standard
             # DPO). Deep copy: the train state is donated, so the reference
             # must own separate buffers. The reference only runs forward in
@@ -856,7 +869,17 @@ class PreferenceGuidedTrainer:
             # canonical state-dict encoding against the fresh optimizer state;
             # raises if shapes/structure genuinely changed.
             restored_typed = flax.serialization.from_state_dict(state.opt_state, restored)
-            restored_typed = jax.tree.map(jnp.asarray, restored_typed)
+
+            # Restore each leaf straight onto the fresh state's sharding:
+            # materializing unsharded first would place e.g. the ZeRO-1
+            # flat Adam moments full-size on one device.
+            def _put(r, s):
+                sharding = getattr(s, "sharding", None)
+                if sharding is not None:
+                    return jax.device_put(np.asarray(r), sharding)
+                return jnp.asarray(r)
+
+            restored_typed = jax.tree.map(_put, restored_typed, state.opt_state)
             fresh_shapes = jax.tree.map(lambda x: jnp.shape(x), state.opt_state)
             rest_shapes = jax.tree.map(lambda x: jnp.shape(x), restored_typed)
             if fresh_shapes != rest_shapes:
