@@ -448,7 +448,17 @@ class DataLoader:
     def _process_pool(self):
         if not hasattr(self, "_ppool"):
             import multiprocessing as mp
+            import sys
 
+            if "jax" in sys.modules:
+                # fork() in a process whose runtime already spun up device/
+                # compiler threads can deadlock children on inherited
+                # mutexes; the spawn-based "grain" mode is the safe
+                # multiprocess choice once JAX is initialized.
+                logger.warning(
+                    "workers_mode='process' forks after JAX initialization; "
+                    "prefer workers_mode='grain' in accelerator runs"
+                )
             global _FORK_DATASET
             _FORK_DATASET = self.dataset
             self._ppool = mp.get_context("fork").Pool(self.num_workers)

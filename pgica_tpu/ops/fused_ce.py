@@ -87,7 +87,12 @@ def _fwd_kernel(h_ref, w_ref, y_ref, out_ref, lse_ref, m_scr, l_scr, t_scr, *, b
     l_new = l_prev * jnp.exp(m_prev - m_new) + jnp.sum(jnp.exp(s - m_new[:, None]), axis=-1)
     m_scr[0] = m_new
     l_scr[0] = l_new
-    t_scr[0] = t_scr[0] + jnp.sum(jnp.where(cols == y[:, None], s, 0.0), axis=-1)
+    # `cols < vocab` matters in the vocab-parallel path: there `y` holds
+    # shard-LOCAL ids and a neighbor shard's target (y in [vocab, vocab_p))
+    # would otherwise match a padded column and add its NEG_INF score.
+    t_scr[0] = t_scr[0] + jnp.sum(
+        jnp.where((cols == y[:, None]) & (cols < vocab), s, 0.0), axis=-1
+    )
 
     @pl.when(v_idx == num_v - 1)
     def _finish():

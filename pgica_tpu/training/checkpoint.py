@@ -85,7 +85,28 @@ class CheckpointManager:
         use_async: bool = False,
     ) -> Path:
         path = self._path(name)
+        meta = {
+            "epoch": epoch,
+            "stage": stage,
+            "global_step": global_step,
+            "step_in_epoch": int(step_in_epoch),
+            "val_loss": None if val_loss is None else float(val_loss),
+            "config": config,
+        }
+        if lora_config is not None:
+            meta["lora_config"] = jax.tree.map(
+                lambda x: list(x) if isinstance(x, tuple) else x, lora_config,
+                is_leaf=lambda x: isinstance(x, tuple),
+            )
         payload = {"params": _to_host(params)}
+        # The meta rides INSIDE the payload (as a uint8 JSON blob) so it
+        # commits atomically with the Orbax tmp-dir rename: for async saves
+        # a sidecar written up front could pair a NEW step count with the
+        # PREVIOUS payload if preemption landed mid-write, silently skipping
+        # batches on resume. The sidecar below is kept for humans/tooling.
+        payload["meta_json"] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        ).copy()
         if opt_state is not None:
             # Canonical encoding: orbax flattens optax's namedtuple states to
             # plain dicts (losing the treedef), so serialize via flax's
@@ -105,19 +126,6 @@ class CheckpointManager:
             self._async.save(path, payload, force=overwrite)
         else:
             self._ckpt.save(path, payload, force=overwrite)
-        meta = {
-            "epoch": epoch,
-            "stage": stage,
-            "global_step": global_step,
-            "step_in_epoch": int(step_in_epoch),
-            "val_loss": None if val_loss is None else float(val_loss),
-            "config": config,
-        }
-        if lora_config is not None:
-            meta["lora_config"] = jax.tree.map(
-                lambda x: list(x) if isinstance(x, tuple) else x, lora_config,
-                is_leaf=lambda x: isinstance(x, tuple),
-            )
         if use_async and self._async is not None:
             # The async save finalizes by RENAMING a tmp dir onto `path`;
             # pre-creating path/meta.json would break that. Sidecar instead.
@@ -153,10 +161,15 @@ class CheckpointManager:
         if not path.exists():
             raise FileNotFoundError(f"Checkpoint not found: {name_or_path}")
         payload = self._ckpt.restore(path)
-        meta_path = path / "meta.json"
-        if not meta_path.exists():  # async saves keep a sidecar meta file
-            meta_path = path.parent / f"{path.name}.meta.json"
-        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        if "meta_json" in payload:
+            # Authoritative: committed atomically with the payload (see save).
+            blob = np.asarray(payload.pop("meta_json"), dtype=np.uint8)
+            meta = json.loads(bytes(blob).decode("utf-8"))
+        else:  # pre-meta_json checkpoints: sidecar / in-dir file
+            meta_path = path / "meta.json"
+            if not meta_path.exists():  # async saves keep a sidecar meta file
+                meta_path = path.parent / f"{path.name}.meta.json"
+            meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
         payload["meta"] = meta
         return payload
 

@@ -485,8 +485,12 @@ class PreferenceGuidedTrainer:
                 from pgica_tpu.core.precision import cast_floating, compute_dtype
 
                 ref_dtype = compute_dtype(cfg.get("reference_dtype", "bf16"))
-                ref_params = cast_floating(
-                    jax.tree.map(lambda x: jnp.array(x, copy=True), trainable), ref_dtype
+                ref_params = self._stage2_reference(
+                    ref_dtype,
+                    lambda: cast_floating(
+                        jax.tree.map(lambda x: jnp.array(x, copy=True), trainable),
+                        ref_dtype,
+                    ),
                 )
         beta = float(cfg.get("dpo_beta", 0.1))
         length_normalized = bool(cfg.get("length_normalized", False))
@@ -557,6 +561,10 @@ class PreferenceGuidedTrainer:
                 reference_free=reference_free,
                 length_normalized=bool(cfg.get("length_normalized", False)),
                 data_axis=("dcn", "data", "fsdp"),
+                # Without the fused path CP materializes the full
+                # (2B, S_local, V) logits per device — the exact HBM cost
+                # sequence sharding exists to avoid.
+                use_fused_ce=bool(self.config.get("pallas.fused_cross_entropy", True)),
             )
             train_step = jax.jit(
                 make_stage2_cp_train_step(
@@ -637,6 +645,29 @@ class PreferenceGuidedTrainer:
         return {"best_val_loss": self.best_val_loss[2], "history": self.history["stage2"]}
 
     # ------------------------------------------------------------- loops
+
+    def _stage2_reference(self, ref_dtype, fresh_fn):
+        """Frozen DPO reference = the policy at STAGE-2 START, persisted.
+
+        Rebuilding the reference from the restored policy after a preemption
+        would silently move the implicit-KL anchor to wherever training was
+        interrupted (reward margins reset; the continued run optimizes a
+        different objective). The reference is written once at stage-2 start
+        and restored whenever a stage-2 checkpoint is being resumed.
+        """
+        from pgica_tpu.core.precision import cast_floating
+
+        name = "stage2_reference"
+        path = self.checkpoints._path(name)
+        if self._resume is not None and self._resume.get("stage") == 2 and path.exists():
+            payload = self.checkpoints.restore(name)
+            logger.info("Restored stage-2 DPO reference (stage-2 start policy) from %s", path)
+            return cast_floating(jax.tree.map(jnp.asarray, payload["params"]), ref_dtype)
+        ref = fresh_fn()
+        if self.save_steps or self.save_epoch_checkpoints or self.save_best_checkpoints:
+            # Only worth persisting when some checkpoint could be resumed.
+            self.checkpoints.save(name, ref, stage=2)
+        return ref
 
     def _maybe_profile(self):
         """Capture a jax.profiler trace of steps 2-7 when profile_dir is set."""
@@ -733,13 +764,24 @@ class PreferenceGuidedTrainer:
         """Run the full two-stage pipeline (reference trainer.py:855-905)."""
         results: Dict[str, Any] = {}
         t0 = time.perf_counter()
+        resume_stage = (self._resume or {}).get("stage")
         try:
             if int(self._stage_cfg(1).get("num_epochs", 0)) > 0:
-                results["stage1"] = self.train_stage1()
+                if resume_stage == 2:
+                    # Re-running stage 1 would train the restored DPO policy
+                    # with the contrastive objective (and feed the stage-2
+                    # opt_state into the stage-1 optimizer).
+                    logger.info("Skipping stage 1: resuming a stage-2 checkpoint")
+                else:
+                    results["stage1"] = self.train_stage1()
             results["stage2"] = self.train_stage2()
         finally:
             self._finish_tracking()
             self.checkpoints.wait()  # finalize any in-flight async autosave
+            for ld in (self.train_loader, self.val_loader,
+                       self.preference_train_loader, self.preference_val_loader):
+                if hasattr(ld, "close"):
+                    ld.close()  # release worker pools (fork snapshots)
         if bool(self.config.get("training.load_best_model_at_end", False)):
             self._load_best_at_end()
         elif self._lora_base is not None and self.model.lora is not None:

@@ -135,7 +135,10 @@ class CaptionService:
                 continue
             batch = [first]
             deadline = time.perf_counter() + self.batch_wait_s
-            while len(batch) < self.max_batch:
+            # Cap at the largest COMPILED bucket, not max_batch: with e.g.
+            # --max-batch 12 the buckets are [1,2,4,8] and gathering 12
+            # requests would overflow the 8-wide bucket array.
+            while len(batch) < self.buckets[-1]:
                 remaining = deadline - time.perf_counter()
                 if remaining <= 0:
                     break
@@ -143,15 +146,14 @@ class CaptionService:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            n = len(batch)
-            bucket = self._bucket(n)
-            size = self.model.image_size
-            images = np.zeros((bucket, size, size, 3), np.uint8)
-            for i, slot in enumerate(batch):
-                images[i] = slot["image"]
-            try:
+            bucket = self._bucket(len(batch))
+            try:  # keep the server alive; any failure fails only this batch
+                size = self.model.image_size
+                images = np.zeros((bucket, size, size, 3), np.uint8)
+                for i, slot in enumerate(batch):
+                    images[i] = slot["image"]
                 captions = self.model.generate_captions(images, max_length=self.max_length)
-            except Exception as e:  # keep the server alive; fail the batch
+            except Exception as e:
                 captions = [f"<error: {type(e).__name__}>"] * bucket
             for i, slot in enumerate(batch):
                 slot["caption"] = captions[i]

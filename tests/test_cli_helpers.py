@@ -135,3 +135,41 @@ class TestCaptionService:
         stats = svc.stats()
         assert stats["served"] == 5 and "p95_ms" in stats
         svc.shutdown()
+
+    def test_non_power_of_two_max_batch_burst(self):
+        """Regression: --max-batch 6 compiles buckets [1,2,4]; a 6-wide burst
+        must be capped at the widest bucket instead of overflowing the batch
+        array (which killed the worker thread and wedged the server)."""
+        import importlib.util
+        import threading
+        from pathlib import Path
+
+        import numpy as np
+
+        from pgica_tpu.utils.config import Config
+
+        spec = importlib.util.spec_from_file_location(
+            "serve", Path(__file__).resolve().parents[1] / "scripts" / "serve.py"
+        )
+        serve = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(serve)
+
+        cfg = Config("configs/smoke.yaml")
+        svc = serve.CaptionService(cfg, max_batch=6, batch_wait_ms=50.0, max_length=6)
+        assert svc.buckets == [1, 2, 4]
+        svc.warmup()
+        size = svc.model.image_size
+        img = np.zeros((size, size, 3), np.float32)
+        results = [None] * 6
+
+        def call(i):
+            results[i] = svc.submit(img, timeout=120.0)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r is not None and isinstance(r["caption"], str) for r in results)
+        assert not any(str(r["caption"]).startswith("<error") for r in results)
+        svc.shutdown()

@@ -211,6 +211,33 @@ class TestVocabParallelFusedCE:
         )(h, w, y)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    def test_pallas_target_in_neighbor_shards_padded_window(self, rng):
+        """Regression: with vloc not divisible by block_vocab, a NEIGHBOR
+        shard's target id lands in this shard's padded-column range; the
+        kernel's target gather must not pick up the padded NEG_INF score
+        (it used to add -1e30 to ~ (vocab_p - vloc)/V of all token logprobs)."""
+        from jax import shard_map
+
+        from pgica_tpu.ops.fused_ce import fused_token_logprobs, fused_token_logprobs_tp
+
+        rows, d, vocab = 16, 8, 48  # model=2 -> vloc=24; block_vocab=16 -> padded to 32
+        h = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(vocab, d)).astype(np.float32))
+        # every target inside [24, 32): shard 1's tokens, inside shard 0's pad window
+        y = jnp.asarray(rng.integers(24, 32, (rows,)).astype(np.int32))
+        ref = fused_token_logprobs(h, w, y, impl="xla")
+        mesh = self._mesh(model=2)
+        out = shard_map(
+            lambda h_, w_, y_: fused_token_logprobs_tp(
+                h_, w_, y_, "model", block_rows=8, block_vocab=16, impl="pallas"
+            ),
+            mesh=mesh,
+            in_specs=(P("data", None), P("model", None), P("data",)),
+            out_specs=P("data"),
+            check_vma=False,
+        )(h, w, y)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
     def test_values_match_pallas_interpret(self, rng):
         from jax import shard_map
 

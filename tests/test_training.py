@@ -588,3 +588,74 @@ class TestZero1Trainer:
         )
         with pytest.raises(ValueError, match="LoRA"):
             trainer2.train_stage1()
+
+
+class TestStage2ReferencePersistence:
+    """The frozen DPO reference must anchor to the STAGE-2 START policy even
+    across a preemption resume (rebuilding it from the restored mid-training
+    policy silently moves the implicit-KL anchor)."""
+
+    def _trainer(self, model, tokenizer, config_dict, tmp_path):
+        config_dict["training"]["stage1"]["num_epochs"] = 0
+        config_dict["training"]["stage2"]["num_epochs"] = 1
+        config_dict["training"]["stage2"]["learning_rate"] = 1e-2
+        config_dict["training"]["load_best_model_at_end"] = False
+        config_dict["paths"] = {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        }
+        cfg = Config(config_dict=config_dict)
+        items = []
+        batch = preference_batch(tokenizer, n=B, seed=0)
+        for i in range(B):
+            items.append({k: np.asarray(v[i]) for k, v in batch.items()})
+        return PreferenceGuidedTrainer(
+            model, cfg,
+            preference_train_loader=DataLoader(_ListDS(items), B, drop_last=True, prefetch=0),
+            preference_val_loader=DataLoader(_ListDS(items[:B]), B, prefetch=0),
+            output_dir=str(tmp_path / "out"),
+        )
+
+    def test_reference_saved_and_restored_on_resume(self, model, tokenizer, config_dict, tmp_path):
+        start_leaf = np.asarray(
+            model.params["caption_decoder"]["vision_projection"]["layers_0"]["kernel"]
+        ).copy()
+        trainer = self._trainer(model, tokenizer, config_dict, tmp_path)
+        trainer.train_stage2()
+        ref_ckpt = tmp_path / "ckpt" / "stage2_reference"
+        assert ref_ckpt.exists(), "stage-2 reference not persisted"
+        # Simulate post-preemption drift: the restored policy differs from
+        # the stage-2 start (one warmup step alone moves nothing).
+        model.params["caption_decoder"]["vision_projection"]["layers_0"]["kernel"] = (
+            jnp.asarray(start_leaf) + 1.0
+        )
+
+        # Resume path: _stage2_reference must return the saved START policy,
+        # never rebuild from the (now-trained) model.
+        trainer._resume = {"stage": 2, "epoch": 0, "step_in_epoch": 1}
+        ref = trainer._stage2_reference(
+            jnp.float32,
+            lambda: (_ for _ in ()).throw(AssertionError("rebuilt the reference on resume")),
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref["caption_decoder"]["vision_projection"]["layers_0"]["kernel"]),
+            start_leaf, atol=2e-2,  # reference stored in bf16
+        )
+
+    def test_train_all_skips_stage1_when_resuming_stage2(self, model, tokenizer, config_dict, tmp_path):
+        trainer = self._trainer(model, tokenizer, config_dict, tmp_path)
+        trainer.train_stage2()
+        epoch_ckpt = tmp_path / "ckpt" / "checkpoint_stage2_epoch0"
+        assert epoch_ckpt.exists()
+
+        model2 = PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=PROJ,
+            tokenizer=tokenizer, max_caption_length=SEQ, image_size=IMG, seed=0,
+        )
+        config_dict["training"]["stage1"]["num_epochs"] = 1  # would run stage 1
+        trainer2 = self._trainer(model2, tokenizer, config_dict, tmp_path)
+        trainer2.train_loader = trainer2.preference_train_loader  # satisfy stage-1 guard
+        trainer2.load_checkpoint(epoch_ckpt)
+        results = trainer2.train()
+        assert "stage1" not in results, "stage 1 reran on a stage-2 resume"
+        assert "stage2" in results
