@@ -659,3 +659,26 @@ class TestStage2ReferencePersistence:
         results = trainer2.train()
         assert "stage1" not in results, "stage 1 reran on a stage-2 resume"
         assert "stage2" in results
+
+
+class TestAtomicCheckpointMeta:
+    """The meta (global_step / step_in_epoch) must commit atomically WITH the
+    payload: a stale or corrupted sidecar must never override the payload's
+    own meta (a sidecar written ahead of an async payload used to pair a new
+    step count with the previous weights after a preemption)."""
+
+    def test_payload_meta_wins_over_sidecar(self, tmp_path):
+        import json
+
+        from pgica_tpu.training.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(tmp_path / "ckpt", async_save=False)
+        params = {"w": np.arange(4, dtype=np.float32)}
+        mgr.save("autosave_stage1", params, global_step=7, step_in_epoch=3, stage=1)
+        # Simulate the failure mode: sidecar claims a different (newer) step.
+        side = tmp_path / "ckpt" / "autosave_stage1.meta.json"
+        side.write_text(json.dumps({"global_step": 99, "step_in_epoch": 9, "stage": 1}))
+        payload = mgr.restore("autosave_stage1")
+        assert payload["meta"]["global_step"] == 7
+        assert payload["meta"]["step_in_epoch"] == 3
+        np.testing.assert_array_equal(payload["params"]["w"], params["w"])
