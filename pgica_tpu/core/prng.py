@@ -22,6 +22,7 @@ PURPOSES: Dict[str, int] = {
     "data": 4,
     "train_stage1": 5,
     "train_stage2": 6,
+    "train_stage0": 7,
 }
 
 

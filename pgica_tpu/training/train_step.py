@@ -95,6 +95,60 @@ def _apply_update(
     return new_state, grad_norm
 
 
+# --------------------------------------------------------------------- stage 0
+
+
+def stage0_loss_fn(
+    params,
+    batch: Dict[str, jax.Array],
+    rng: jax.Array,
+    module,
+    augment: bool,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Teacher-forced caption cross-entropy (optional LM warmup).
+
+    The reference inherits language modeling from pretrained gpt2-medium
+    (reference model.py:505); fully-offline from-scratch runs have none —
+    stage 1 is contrastive-only and stage 2 DPO-only, so without this the
+    decoder never learns to emit text (results/eval_conceptual/NOTES.md).
+    """
+    aug_rng, dropout_rng = jax.random.split(rng)
+    images = prepare_images(batch["image"])
+    if augment:
+        images = augment_batch(aug_rng, images, enabled=True)
+    out = module.apply(
+        {"params": params},
+        images,
+        batch["caption_ids"],
+        batch["caption_mask"],
+        labels=batch["caption_ids"],
+        mode="generation",
+        deterministic=False,
+        rngs={"dropout": dropout_rng},
+    )
+    loss = out["loss"]
+    return loss, {"loss": loss}
+
+
+def make_stage0_train_step(
+    module, optimizer: optax.GradientTransformation, augment: bool = True
+) -> Callable:
+    """Returns jit-ready fn(state, batch, rng, base_params=None) -> (state, metrics)."""
+
+    def step(state: TrainState, batch, rng, base_params=None):
+        del base_params  # full-parameter warmup only
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(stage0_loss_fn, has_aux=True)(
+            state.params, batch, rng, module, augment
+        )
+        new_state, grad_norm = _apply_update(state, grads, optimizer, loss)
+        metrics["grad_norm"] = grad_norm
+        metrics["skipped"] = new_state.skipped
+        return new_state, metrics
+
+    return step
+
+
 # --------------------------------------------------------------------- stage 1
 
 

@@ -34,6 +34,7 @@ from pgica_tpu.training.checkpoint import CheckpointManager
 from pgica_tpu.training.optim import create_optimizer
 from pgica_tpu.training.train_step import (
     TrainState,
+    make_stage0_train_step,
     make_stage1_eval_step,
     make_stage1_train_step,
     make_stage2_eval_step,
@@ -109,7 +110,7 @@ class PreferenceGuidedTrainer:
         self.save_best_checkpoints = bool(config.get("training.save_best_checkpoints", True))
         self._resume: Optional[Dict[str, int]] = None  # stage/epoch/step_in_epoch
         self.seed = config.get("training.seed", 42)
-        self.history: Dict[str, List] = {"stage1": [], "stage2": []}
+        self.history: Dict[str, List] = {"stage0": [], "stage1": [], "stage2": []}
         self._setup_tracking()
 
     # ------------------------------------------------------------- tracking
@@ -350,6 +351,45 @@ class PreferenceGuidedTrainer:
                 "lora_config": dict(self.model.lora_config),
             }
         return {"params": self._train_params(state)}
+
+    # ------------------------------------------------------------- stage 0
+
+    def train_stage0(self) -> Dict[str, Any]:
+        """OPTIONAL caption-CE (language-modeling) warmup before stage 1.
+
+        Inert unless ``training.stage0.num_epochs`` > 0 — a beyond-reference
+        utility: the reference inherits language modeling from pretrained
+        gpt2-medium, so fully-offline from-scratch runs need this for the
+        decoder to emit text at all (results/eval_conceptual/NOTES.md).
+        Trains the full model with teacher-forced caption cross-entropy on
+        the stage-1 corpus; no checkpoints or early stopping (short warmup).
+        """
+        cfg = self._stage_cfg(0)
+        num_epochs = int(cfg.get("num_epochs", 0))
+        if num_epochs <= 0:
+            return {"skipped": True}
+        if self.train_loader is None:
+            raise ValueError("Stage 0 requires a contrastive train_loader")
+        if self._lora_static is not None:
+            raise ValueError("stage0 warmup is full-parameter; disable it for LoRA runs")
+        optimizer = self._make_optimizer(0, len(self.train_loader))
+        state = TrainState.create(self._shard_state_params(self.model.params), optimizer)
+        train_step = jax.jit(
+            make_stage0_train_step(self.model.module, optimizer, augment=True),
+            donate_argnums=(0,),
+        )
+        rng = prng.purpose_key(prng.root_key(self.seed), "train_stage0")
+        logger.info("Stage 0 (caption-CE warmup): %d epochs x %d steps",
+                    num_epochs, len(self.train_loader))
+        for epoch in range(num_epochs):
+            state, epoch_metrics = self._run_epoch(
+                state, self.train_loader, train_step, rng, stage=0, epoch=epoch
+            )
+            self.history["stage0"].append(
+                {"epoch": epoch, "train_loss": epoch_metrics.get("loss")}
+            )
+        self._sync_model(state)
+        return {"history": self.history["stage0"]}
 
     # ------------------------------------------------------------- stage 1
 
@@ -714,7 +754,7 @@ class PreferenceGuidedTrainer:
             self._maybe_profile()
             device_batch = self._device_batch(batch)
             n_items += device_batch["image"].shape[0]
-            if stage == 1:
+            if stage <= 1:  # stage 0 (CE warmup) and stage 1 share the signature
                 state, metrics = train_step(state, device_batch, rng, self._lora_base)
             else:
                 state, metrics = train_step(state, ref_params, device_batch, rng, self._lora_base)
@@ -766,6 +806,8 @@ class PreferenceGuidedTrainer:
         t0 = time.perf_counter()
         resume_stage = (self._resume or {}).get("stage")
         try:
+            if resume_stage is None and int(self._stage_cfg(0).get("num_epochs", 0)) > 0:
+                results["stage0"] = self.train_stage0()
             if int(self._stage_cfg(1).get("num_epochs", 0)) > 0:
                 if resume_stage == 2:
                     # Re-running stage 1 would train the restored DPO policy
@@ -837,6 +879,7 @@ class PreferenceGuidedTrainer:
             "trainable_parameters": counts.get("trainable"),
             "total_steps": self.global_step,
             "wall_clock_minutes": round(wall_clock_s / 60.0, 2),
+            "stage0": {"history": self.history.get("stage0", [])},
             "stage1": {
                 "best_val_loss": None
                 if self.best_val_loss[1] == float("inf")

@@ -682,3 +682,52 @@ class TestAtomicCheckpointMeta:
         assert payload["meta"]["global_step"] == 7
         assert payload["meta"]["step_in_epoch"] == 3
         np.testing.assert_array_equal(payload["params"]["w"], params["w"])
+
+
+class TestStage0Warmup:
+    """Optional caption-CE warmup (training.stage0): inert at 0 epochs,
+    reduces teacher-forced CE when enabled."""
+
+    def test_warmup_reduces_caption_ce(self, model, tokenizer, config_dict, tmp_path):
+        config_dict["training"]["stage0"] = {
+            "num_epochs": 4, "learning_rate": 5e-3, "warmup_steps": 1,
+        }
+        config_dict["training"]["stage1"]["num_epochs"] = 0
+        config_dict["training"]["stage2"]["num_epochs"] = 0
+        config_dict["paths"] = {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        }
+        cfg = Config(config_dict=config_dict)
+        items = []
+        batch = contrastive_batch(tokenizer, n=B, seed=0)
+        for i in range(B):
+            items.append({k: np.asarray(v[i]) for k, v in batch.items()})
+        trainer = PreferenceGuidedTrainer(
+            model, cfg,
+            train_loader=DataLoader(_ListDS(items), B, drop_last=True, prefetch=0),
+            output_dir=str(tmp_path / "out"),
+        )
+        results = trainer.train()
+        hist = results["stage0"]["history"]
+        assert len(hist) == 4
+        assert all(np.isfinite(h["train_loss"]) for h in hist)
+        assert hist[-1]["train_loss"] < hist[0]["train_loss"], (
+            "caption CE did not decrease over the warmup"
+        )
+        # stage-1/2 disabled -> no best checkpoints, but results written
+        assert (tmp_path / "out" / "results.json").exists()
+
+    def test_inert_by_default(self, model, tokenizer, config_dict, tmp_path):
+        config_dict["training"]["stage1"]["num_epochs"] = 0
+        config_dict["training"]["stage2"]["num_epochs"] = 0
+        config_dict["paths"] = {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        }
+        cfg = Config(config_dict=config_dict)
+        trainer = PreferenceGuidedTrainer(
+            model, cfg, output_dir=str(tmp_path / "out"),
+        )
+        results = trainer.train()
+        assert "stage0" not in results
