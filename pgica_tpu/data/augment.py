@@ -159,10 +159,17 @@ def _rotate_batch(key: jax.Array, images: jax.Array) -> jax.Array:
     ) * (jnp.pi / 180.0)
     ones = jnp.ones(images.shape[:3] + (1,), images.dtype)
     stacked = jnp.concatenate([images, ones], axis=-1)
-    pos = _rot3_batch(stacked, theta)
-    neg = _rot3_batch(stacked, -theta)
+    # R(-theta) = Flip_W . R(theta) . Flip_W about the shared (H-1)/2,(W-1)/2
+    # center: the width flip negates both shear slopes, and jnp.round is
+    # half-to-even (odd-symmetric), so conjugation is bit-exact vs running
+    # the -theta shears directly. Negative-sign images are pre-flipped, the
+    # WHOLE batch rides one +theta pass (three shared-matrix matmuls — not
+    # six), and they are flipped back afterwards.
     flip = jax.random.bernoulli(k_sign, 0.5, (images.shape[0],))
-    out = jnp.where(flip[:, None, None, None], pos, neg)
+    sign = flip[:, None, None, None]
+    mirrored = jnp.where(sign, stacked, stacked[:, :, ::-1, :])
+    rot = _rot3_batch(mirrored, theta)
+    out = jnp.where(sign, rot, rot[:, :, ::-1, :])
     valid = out[..., -1:] > 0.5
     fill = ((0.0 - _MEAN) / _STD).astype(images.dtype)  # black, normalized
     return jnp.where(valid, out[..., :-1], fill)

@@ -67,7 +67,8 @@ class CaptionDecoder(nn.Module):
             dtype=self.dtype,
             attn_impl="xla",  # single-KV-token attention: MXU-trivial, not flash-worthy
         )
-        self.cross_ln = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
+        # epsilon 1e-5 = torch nn.LayerNorm default (reference attention_norm)
+        self.cross_ln = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, epsilon=1e-5)
         self.lm = self.shared_lm or TransformerLM(
             self.config, with_lm_head=True, dtype=self.dtype,
             attn_impl=self.attn_impl, remat=self.remat, ring_axis=self.ring_axis,
@@ -99,13 +100,20 @@ class CaptionDecoder(nn.Module):
         if caption_mask is None:
             caption_mask = jnp.ones_like(caption_ids)
         vision_token = self.project_vision(vision_embeddings, deterministic)
-        position_offset = 0
-        if self.ring_axis is not None:
-            # sequence-sharded: this shard owns global positions
-            # [idx * S_local, (idx + 1) * S_local)
-            position_offset = jax.lax.axis_index(self.ring_axis) * caption_ids.shape[1]
-        token_embeds = self.lm.embed(caption_ids, position_offset=position_offset)
+        # Cross-attention fuses TOKEN-ONLY embeddings (reference model.py:591:
+        # wte(input_ids), no positions); learned positions are added AFTER the
+        # residual+LN, exactly where HF GPT-2's inputs_embeds path adds wpe
+        # (changed round 3 — previously wpe was inside the fusion/LN).
+        token_embeds = self.lm.wte(caption_ids)
         fused = self.fuse(token_embeds, vision_token, deterministic)
+        if self.config.arch == "gpt2":
+            position_offset = 0
+            if self.ring_axis is not None:
+                # sequence-sharded: this shard owns global positions
+                # [idx * S_local, (idx + 1) * S_local)
+                position_offset = jax.lax.axis_index(self.ring_axis) * caption_ids.shape[1]
+            positions = jnp.arange(caption_ids.shape[1]) + position_offset
+            fused = fused + self.lm.wpe(positions)[None]
         out = self.lm(
             inputs_embeds=fused, attention_mask=caption_mask, deterministic=deterministic
         )
@@ -121,6 +129,10 @@ class CaptionDecoder(nn.Module):
         Returns (logits_for_first_token, updated_caches).
         """
         vision_token = self.project_vision(vision_embeddings, deterministic=True)
+        if self.config.arch == "gpt2":
+            # HF adds wpe(0) to the vision seed inside the inputs_embeds path
+            # (reference model.py:611-617) — mirror it (fixed round 3).
+            vision_token = vision_token + self.lm.wpe(jnp.arange(1))[None]
         out = self.lm(
             inputs_embeds=vision_token,
             attention_mask=attention_mask,
@@ -138,13 +150,13 @@ class CaptionDecoder(nn.Module):
         vision_embeddings: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, List[KVCache]]:
         """One autoregressive step: (B, 1) token -> (B, V) next-token logits."""
-        if self.config.arch == "gpt2":
-            embeds = self.lm.wte(token_ids) + self.lm.wpe(jnp.atleast_1d(position))[None]
-        else:
-            embeds = self.lm.wte(token_ids)
+        embeds = self.lm.wte(token_ids)
         if self.cross_attend_at_decode and vision_embeddings is not None:
+            # fuse on token-only embeds, positions after (same order as training)
             vision_token = self.project_vision(vision_embeddings, deterministic=True)
             embeds = self.fuse(embeds, vision_token, deterministic=True)
+        if self.config.arch == "gpt2":
+            embeds = embeds + self.lm.wpe(jnp.atleast_1d(position))[None]
         out = self.lm(
             inputs_embeds=embeds,
             attention_mask=attention_mask,

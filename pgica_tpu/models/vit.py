@@ -92,7 +92,10 @@ class ProjectionHead(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.projection_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")(x)
+        # epsilon 1e-5 = torch nn.LayerNorm default (flax defaults to 1e-6)
+        x = nn.LayerNorm(
+            dtype=self.dtype, param_dtype=jnp.float32, epsilon=1e-5, name="ln"
+        )(x)
         return x
 
 

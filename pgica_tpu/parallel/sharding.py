@@ -44,14 +44,17 @@ _RULES: Tuple[Tuple[str, Tuple], ...] = (
 
 
 def _axis_size(mesh: Mesh, axis) -> int:
+    """Axes absent from the mesh count as size 1 (rule drops to replicated),
+    so partial meshes (e.g. a data/model/seq test mesh with no fsdp axis)
+    still shard under the same rule table."""
     if axis is None:
         return 1
     if isinstance(axis, tuple):
         size = 1
         for a in axis:
-            size *= mesh.shape[a]
+            size *= mesh.shape.get(a, 1)
         return size
-    return mesh.shape[axis]
+    return mesh.shape.get(axis, 1)
 
 
 def infer_param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:

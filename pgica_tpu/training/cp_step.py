@@ -59,7 +59,8 @@ def make_cp_module(module, axis_name: str):
 
 
 def _pair_partials_factory(
-    module_cp, axis_name: str, use_fused_ce: bool, with_dropout: bool
+    module_cp, axis_name: str, use_fused_ce: bool, with_dropout: bool,
+    ce_impl: str = "auto",
 ):
     """Body run INSIDE shard_map: one vision encode + one decoder pass over
     the [chosen; rejected] 2B-row batch on this shard's sequence slice."""
@@ -84,7 +85,8 @@ def _pair_partials_factory(
         )
         if use_fused_ce:
             part, cnt = cp_sequence_logprob_partials_from_hidden(
-                dec["hidden_states"], decoder_embedding(params), ids, mask, axis_name
+                dec["hidden_states"], decoder_embedding(params), ids, mask, axis_name,
+                impl=ce_impl,
             )
         else:
             part, cnt = cp_sequence_logprob_partials(dec["logits"], ids, mask, axis_name)
@@ -106,6 +108,7 @@ def make_stage2_cp_loss_fn(
     use_fused_ce: bool = False,
     data_axis=None,
     policy_dropout: bool = True,
+    tp_axis: Optional[str] = None,
 ) -> Callable:
     """loss_fn(params, ref_params, batch, rng) with sequence-sharded decoder.
 
@@ -114,16 +117,36 @@ def make_stage2_cp_loss_fn(
     mesh axes (a name or tuple of names — data parallelism composed with
     context parallelism). ``policy_dropout=False`` makes the policy pass
     deterministic (eval).
+
+    ``tp_axis`` composes tensor parallelism with CP via PARTIAL-manual
+    shard_map (jax ``axis_names``): the seq/data axes are manual (ring
+    attention's ppermute, the causal-shift ppermute), while ``tp_axis``
+    stays automatic, so the GSPMD Megatron rules
+    (:mod:`pgica_tpu.parallel.sharding`) partition the decoder matmuls over
+    it exactly as in the non-CP TP path. The Pallas fused-CE kernel cannot
+    be auto-partitioned (XLA would gather the vocab-sharded wte around the
+    custom call), so the CE falls back to the XLA formulation, which GSPMD
+    shards over the vocab dim; the (2B, S/cp, V/tp) logits shard is the
+    bounded residual cost.
     """
     n_shards = mesh.shape[axis_name]
     if isinstance(data_axis, (tuple, list)):
         data_axis = tuple(a for a in data_axis if mesh.shape.get(a, 1) > 1) or None
+    sm_kwargs = {}
+    ce_impl = "auto"
+    if tp_axis is not None and mesh.shape.get(tp_axis, 1) > 1:
+        manual = frozenset(a for a in mesh.axis_names if a != tp_axis)
+        sm_kwargs["axis_names"] = manual
+        ce_impl = "xla"
 
     def _partials(params, images, batch, rng, with_dropout):
-        body = _pair_partials_factory(module_cp, axis_name, use_fused_ce, with_dropout)
+        body = _pair_partials_factory(
+            module_cp, axis_name, use_fused_ce, with_dropout, ce_impl=ce_impl
+        )
         sm = shard_map(
             body,
             mesh=mesh,
+            **sm_kwargs,
             in_specs=(
                 P(),                      # params replicated
                 P(data_axis),             # images: batch over data axis (or replicated)
@@ -195,6 +218,7 @@ def make_stage2_cp_train_step(
     augment: bool = True,
     use_fused_ce: bool = False,
     data_axis=None,
+    tp_axis: Optional[str] = None,
 ) -> Callable:
     """fn(state, ref_params, batch, rng) -> (state, metrics), context-parallel.
 
@@ -205,7 +229,7 @@ def make_stage2_cp_train_step(
     module_cp = make_cp_module(module, axis_name)
     loss_fn = make_stage2_cp_loss_fn(
         module_cp, mesh, axis_name, beta, reference_free, length_normalized,
-        label_smoothing, augment, use_fused_ce, data_axis,
+        label_smoothing, augment, use_fused_ce, data_axis, tp_axis=tp_axis,
     )
 
     def step(state: TrainState, ref_params, batch, rng, base_params=None):
@@ -232,6 +256,7 @@ def make_stage2_cp_eval_step(
     length_normalized: bool = False,
     use_fused_ce: bool = False,
     data_axis=None,
+    tp_axis: Optional[str] = None,
 ) -> Callable:
     """fn(params, ref_params, batch, base_params=None) -> metrics — the
     deterministic CP analog of make_stage2_eval_step."""
@@ -239,7 +264,7 @@ def make_stage2_cp_eval_step(
     loss_fn = make_stage2_cp_loss_fn(
         module_cp, mesh, axis_name, beta, reference_free, length_normalized,
         augment=False, use_fused_ce=use_fused_ce, data_axis=data_axis,
-        policy_dropout=False,
+        policy_dropout=False, tp_axis=tp_axis,
     )
 
     def step(params, ref_params, batch, base_params=None):

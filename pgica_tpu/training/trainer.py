@@ -195,6 +195,20 @@ class PreferenceGuidedTrainer:
             steps_per_epoch = min(steps_per_epoch, self.max_steps_per_epoch)
         total_updates = max(1, steps_per_epoch * int(cfg.get("num_epochs", 1)) // max(accum, 1))
         lora = self._lora_static is not None
+        # Modules outside the stage's gradient graph are excluded from the
+        # optimizer entirely (torch AdamW semantics: grad-None params are
+        # skipped, reference trainer.py:274-281) — otherwise optax.adamw
+        # would weight-decay the untrained decoder during stage 1 and the
+        # contrastive text tower during stage 2. The stage-2 decoder pass
+        # never touches text_encoder/* (its shared-tower backbone lives
+        # under shared_lm/), and stages 0/1 never touch caption_decoder/*
+        # except stage 0's CE warmup.
+        frozen_prefixes = ()
+        if not lora:
+            if stage == 1:
+                frozen_prefixes = (("caption_decoder",),)
+            elif stage in (0, 2):  # generation-mode stages: text tower unused
+                frozen_prefixes = (("text_encoder",),)
         return create_optimizer(
             learning_rate=float(cfg.get("learning_rate", 5e-5)),
             total_steps=total_updates,
@@ -208,6 +222,7 @@ class PreferenceGuidedTrainer:
             params_for_freezing=None if lora else self.model.params,
             freeze_vision_backbone=False if lora else self.model.freeze_vision_backbone,
             freeze_text_backbone=False if lora else self.model.freeze_text_backbone,
+            frozen_prefixes=frozen_prefixes,
         )
 
     def _shard_state_params(self, params):
@@ -327,6 +342,12 @@ class PreferenceGuidedTrainer:
     def _maybe_autosave(self, stage: int, epoch: int, step_idx: int, state):
         if not self.save_steps or self.global_step % self.save_steps != 0:
             return
+        if stage == 0:
+            # Stage-0 warmup is checkpoint-free by contract (train_stage0
+            # docstring): an autosave here would later be mis-resumed as a
+            # stage-1 mid-epoch point, silently skipping both the remaining
+            # warmup epochs AND that many stage-1 batches.
+            return
         self.checkpoints.save_autosave(
             stage, epoch=epoch, opt_state=state.opt_state,
             global_step=self.global_step, step_in_epoch=step_idx + 1,
@@ -373,7 +394,9 @@ class PreferenceGuidedTrainer:
         if self._lora_static is not None:
             raise ValueError("stage0 warmup is full-parameter; disable it for LoRA runs")
         optimizer = self._make_optimizer(0, len(self.train_loader))
-        state = TrainState.create(self._shard_state_params(self.model.params), optimizer)
+        state = self._maybe_resume_opt_state(
+            TrainState.create(self._shard_state_params(self.model.params), optimizer)
+        )
         train_step = jax.jit(
             make_stage0_train_step(self.model.module, optimizer, augment=True),
             donate_argnums=(0,),
@@ -381,9 +404,11 @@ class PreferenceGuidedTrainer:
         rng = prng.purpose_key(prng.root_key(self.seed), "train_stage0")
         logger.info("Stage 0 (caption-CE warmup): %d epochs x %d steps",
                     num_epochs, len(self.train_loader))
-        for epoch in range(num_epochs):
+        start_epoch, skip_steps = self._resume_window(0, num_epochs)
+        for epoch in range(start_epoch, num_epochs):
             state, epoch_metrics = self._run_epoch(
-                state, self.train_loader, train_step, rng, stage=0, epoch=epoch
+                state, self.train_loader, train_step, rng, stage=0, epoch=epoch,
+                skip_steps=skip_steps if epoch == start_epoch else 0,
             )
             self.history["stage0"].append(
                 {"epoch": epoch, "train_loss": epoch_metrics.get("loss")}
@@ -579,10 +604,10 @@ class PreferenceGuidedTrainer:
                 )
             )
         elif cp:
-            if lora is not None or tp_mesh is not None:
+            if lora is not None:
                 raise ValueError(
                     "mesh.seq context parallelism composes with dcn/data/fsdp "
-                    "axes but not with LoRA or a >1 model axis"
+                    "and model axes but not with LoRA"
                 )
             from pgica_tpu.training.cp_step import (
                 make_stage2_cp_eval_step,
@@ -601,6 +626,9 @@ class PreferenceGuidedTrainer:
                 reference_free=reference_free,
                 length_normalized=bool(cfg.get("length_normalized", False)),
                 data_axis=("dcn", "data", "fsdp"),
+                # TP x CP: seq/data manual, model axis auto (GSPMD Megatron
+                # rules partition the decoder inside the shard_map body).
+                tp_axis="model" if tp_mesh is not None else None,
                 # Without the fused path CP materializes the full
                 # (2B, S_local, V) logits per device — the exact HBM cost
                 # sequence sharding exists to avoid.
@@ -806,7 +834,10 @@ class PreferenceGuidedTrainer:
         t0 = time.perf_counter()
         resume_stage = (self._resume or {}).get("stage")
         try:
-            if resume_stage is None and int(self._stage_cfg(0).get("num_epochs", 0)) > 0:
+            if resume_stage in (None, 0) and int(self._stage_cfg(0).get("num_epochs", 0)) > 0:
+                # resume_stage == 0 can only come from a legacy stage-0
+                # autosave (current builds never checkpoint stage 0);
+                # re-enter the warmup at its recorded resume point.
                 results["stage0"] = self.train_stage0()
             if int(self._stage_cfg(1).get("num_epochs", 0)) > 0:
                 if resume_stage == 2:
@@ -930,8 +961,11 @@ class PreferenceGuidedTrainer:
         meta = payload.get("meta", {})
         self.global_step = int(meta.get("global_step", 0) or 0)
         self.current_epoch = int(meta.get("epoch", 0) or 0)
+        # NB: `or 1` would coerce a legitimate stage 0 to 1 (0 is falsy);
+        # only a *missing* stage defaults to 1.
+        meta_stage = meta.get("stage")
         self._resume = {
-            "stage": int(meta.get("stage", 1) or 1),
+            "stage": 1 if meta_stage is None else int(meta_stage),
             "epoch": self.current_epoch,
             "step_in_epoch": int(meta.get("step_in_epoch", 0) or 0),
         }

@@ -97,6 +97,18 @@ class CaptionService:
 
     def submit(self, image: np.ndarray, timeout: float = 30.0) -> dict:
         """Blocking single-request API used by the HTTP handler threads."""
+        image = np.asarray(image)
+        if image.dtype != np.uint8:
+            # The batch buffer is uint8 (wire format); a silent cast would
+            # turn [0,1]-normalized floats into all-zero images. Accept
+            # [0,255]-ranged floats, reject normalized ones loudly. An
+            # all-zero image is black under either convention — allow it.
+            if np.issubdtype(image.dtype, np.floating) and image.size and 0.0 < image.max() <= 1.0:
+                raise ValueError(
+                    "submit() expects uint8 images in [0, 255] (got normalized "
+                    f"float with max {float(image.max()):.3f}); multiply by 255 first"
+                )
+            image = np.clip(image, 0, 255).astype(np.uint8)
         done = threading.Event()
         slot = {"image": image, "event": done, "caption": None, "t0": time.perf_counter()}
         self._queue.put(slot)

@@ -399,6 +399,21 @@ class TestAugment:
         ident = np.asarray(rotate_3shear(jnp.asarray(img), jnp.float32(0.0), 5.0))
         np.testing.assert_allclose(ident, img, atol=1e-6)
 
+    def test_rotate_batch_flip_conjugation_exact(self, rng):
+        """_rotate_batch computes R(-theta) as Flip_W . R(theta) . Flip_W (one
+        shared +theta pass = 3 matmuls). The conjugation must be BIT-exact vs
+        running the -theta shears directly (jnp.round is half-to-even, which
+        is odd-symmetric, so the negated shear shifts match exactly)."""
+        import jax.numpy as jnp
+
+        from pgica_tpu.data.augment import _rot3_batch
+
+        imgs = jnp.asarray(rng.random((2, 24, 24, 3)).astype(np.float32))
+        theta = jnp.float32(np.deg2rad(4.1))
+        direct_neg = np.asarray(_rot3_batch(imgs, -theta))
+        conj_neg = np.asarray(_rot3_batch(imgs[:, :, ::-1, :], theta))[:, :, ::-1, :]
+        np.testing.assert_array_equal(conj_neg, direct_neg)
+
 
 class TestDeviceSideNormalization:
     def test_uint8_path_matches_host_normalization(self, temp_dataset_dir):

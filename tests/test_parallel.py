@@ -673,6 +673,51 @@ class TestContextParallelStage2:
         )
         np.testing.assert_allclose(float(l_cp), float(l_ref), rtol=1e-5)
 
+    def test_tp_cp_composition_matches_unsharded(self):
+        """DP x TP x CP (data=2, model=2, seq=2): the seq/data axes run
+        manual (ring attention, causal-shift ppermute) while the model axis
+        stays auto — GSPMD partitions the decoder per the Megatron rules
+        inside the shard_map body. Loss AND parameter gradients must match
+        the unsharded step (VERDICT r2 item 7)."""
+        from pgica_tpu.parallel.sharding import shard_params
+        from pgica_tpu.training.cp_step import make_cp_module, make_stage2_cp_loss_fn
+        from pgica_tpu.training.train_step import stage2_loss_fn
+
+        tok, model = self._model()
+        batch = self._batch(tok, b=4)
+        ref_params = jax.tree.map(lambda x: jnp.array(x, copy=True), model.params)
+        key = jax.random.PRNGKey(11)
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2), ("data", "model", "seq"))
+
+        def plain(params):
+            return stage2_loss_fn(
+                params, ref_params, batch, key, model.module, 0.1,
+                False, False, 0.0, False,
+            )
+
+        cp_loss = make_stage2_cp_loss_fn(
+            make_cp_module(model.module, "seq"), mesh, "seq", beta=0.1,
+            augment=False, data_axis="data", tp_axis="model", use_fused_ce=True,
+        )
+        sharded = shard_params(model.params, mesh)
+        (l_ref, m_ref), g_ref = jax.value_and_grad(plain, has_aux=True)(model.params)
+        (l_cp, m_cp), g_cp = jax.jit(jax.value_and_grad(cp_loss, has_aux=True))(
+            sharded, ref_params, batch, key
+        )
+        np.testing.assert_allclose(float(l_cp), float(l_ref), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m_cp["policy_chosen_logp"]), float(m_ref["policy_chosen_logp"]), rtol=1e-5
+        )
+        flat_cp = {
+            jax.tree_util.keystr(k): v
+            for k, v in jax.tree_util.tree_leaves_with_path(g_cp)
+        }
+        for k, v_ref in jax.tree_util.tree_leaves_with_path(g_ref):
+            np.testing.assert_allclose(
+                np.asarray(flat_cp[jax.tree_util.keystr(k)]), np.asarray(v_ref),
+                atol=3e-5, err_msg=jax.tree_util.keystr(k),
+            )
+
 
 class TestZero1:
     """Explicit reduce-scatter data parallelism (ZeRO-1): flat-sharded Adam

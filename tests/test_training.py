@@ -731,3 +731,63 @@ class TestStage0Warmup:
         )
         results = trainer.train()
         assert "stage0" not in results
+
+    def _stage0_trainer(self, model, tokenizer, config_dict, tmp_path, **training_overrides):
+        config_dict["training"]["stage0"] = {
+            "num_epochs": 2, "learning_rate": 5e-3, "warmup_steps": 1,
+        }
+        config_dict["training"]["stage1"]["num_epochs"] = 0
+        config_dict["training"]["stage2"]["num_epochs"] = 0
+        config_dict["training"].update(training_overrides)
+        config_dict["paths"] = {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        }
+        cfg = Config(config_dict=config_dict)
+        items = []
+        for seed in (0, 1):  # 2 batches per epoch
+            batch = contrastive_batch(tokenizer, n=B, seed=seed)
+            for i in range(B):
+                items.append({k: np.asarray(v[i]) for k, v in batch.items()})
+        return PreferenceGuidedTrainer(
+            model, cfg,
+            train_loader=DataLoader(_ListDS(items), B, drop_last=True, prefetch=0),
+            output_dir=str(tmp_path / "out"),
+        )
+
+    def test_stage0_never_autosaves(self, model, tokenizer, config_dict, tmp_path):
+        """Stage-0 warmup is checkpoint-free by contract: an autosave would be
+        mis-resumed as a stage-1 mid-epoch point (advisor finding r2)."""
+        trainer = self._stage0_trainer(
+            model, tokenizer, config_dict, tmp_path,
+            save_steps=1, save_strategy="steps",
+        )
+        trainer.train()
+        trainer.checkpoints.wait()
+        ckpt_dir = tmp_path / "ckpt"
+        autosaves = list(ckpt_dir.glob("autosave*")) if ckpt_dir.exists() else []
+        assert not autosaves, f"stage-0 warmup must not autosave, found {autosaves}"
+
+    def test_legacy_stage0_checkpoint_reenters_stage0(
+        self, model, tokenizer, config_dict, tmp_path
+    ):
+        """A stage-0 checkpoint (legacy builds autosaved through the shared
+        path) must resume the WARMUP at its recorded point — stage must not be
+        coerced to 1 (`or 1` on a falsy 0) and the remaining warmup epochs must
+        still run."""
+        trainer = self._stage0_trainer(model, tokenizer, config_dict, tmp_path)
+        # Simulate a legacy end-of-epoch-0 stage-0 autosave.
+        trainer.checkpoints.save(
+            "autosave_stage0", trainer.model.params,
+            stage=0, epoch=0, global_step=2, step_in_epoch=0,
+        )
+        trainer.checkpoints.wait()
+        trainer.load_checkpoint(tmp_path / "ckpt" / "autosave_stage0")
+        assert trainer._resume["stage"] == 0, "stage 0 was coerced away"
+        results = trainer.train()
+        hist = results["stage0"]["history"]
+        assert [h["epoch"] for h in hist] == [1], (
+            "resume must run exactly the remaining warmup epoch, got "
+            f"{[h['epoch'] for h in hist]}"
+        )
+        assert trainer.global_step == 2 + 2  # restored 2 + one 2-step epoch
