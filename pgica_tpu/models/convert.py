@@ -175,6 +175,59 @@ def convert_clip_vision(state_dict: Dict, config: ViTConfig) -> Dict:
     return params
 
 
+def convert_linear(sd: Dict, prefix: str) -> Dict[str, np.ndarray]:
+    """torch ``nn.Linear`` -> flax Dense: (out, in) weight transposed."""
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    bias = sd.get(f"{prefix}.bias")
+    if bias is not None:
+        out["bias"] = _np(bias)
+    return out
+
+
+def convert_projection_head(sd: Dict, prefix: str = "") -> Dict:
+    """Reference 2-layer projection head -> :class:`ProjectionHead` params.
+
+    torch layout (reference model.py:136-142, 338-344): ``nn.Sequential`` of
+    Linear(0)-ReLU-Dropout-Linear(3)-LayerNorm(4); flax names fc1/fc2/ln.
+    """
+    p = f"{prefix}." if prefix else ""
+    return {
+        "fc1": convert_linear(sd, f"{p}0"),
+        "fc2": convert_linear(sd, f"{p}3"),
+        "ln": _ln(sd, f"{p}4"),
+    }
+
+
+def convert_mha(sd: Dict, prefix: str, num_heads: int) -> Dict:
+    """torch ``nn.MultiheadAttention`` (packed in_proj) -> our MultiHeadAttention.
+
+    Used for the decoder's vision-text cross-attention (reference
+    model.py:528-533). torch packs q/k/v as in_proj_weight (3h, h) with the
+    embedding dim split head-major (head i owns dims [i*d, (i+1)*d)) — the
+    same layout our DenseGeneral reshape (h, heads, d) produces.
+    """
+    p = f"{prefix}." if prefix else ""
+    w = _np(sd[f"{p}in_proj_weight"])  # (3h, h)
+    b = _np(sd[f"{p}in_proj_bias"])
+    h = w.shape[1]
+    d = h // num_heads
+    qw, kw, vw = np.split(w, 3, axis=0)
+    qb, kb, vb = np.split(b, 3, axis=0)
+
+    def proj(wi, bi):
+        return {"kernel": wi.T.reshape(h, num_heads, d), "bias": bi.reshape(num_heads, d)}
+
+    return {
+        "q_proj": proj(qw, qb),
+        "k_proj": proj(kw, kb),
+        "v_proj": proj(vw, vb),
+        "out_proj": {
+            "kernel": _np(sd[f"{p}out_proj.weight"]).T.reshape(num_heads, d, h),
+            "bias": _np(sd[f"{p}out_proj.bias"]),
+        },
+    }
+
+
 def _rope_permute(w: np.ndarray, n_head: int, d: int) -> np.ndarray:
     """HF split-half RoPE layout -> interleaved-pair layout.
 
