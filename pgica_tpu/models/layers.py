@@ -110,7 +110,7 @@ class MultiHeadAttention(nn.Module):
             elif position is None:
                 pos_q = jnp.arange(sq)
             else:
-                pos_q = jnp.atleast_1d(position) if position.ndim == 0 else position
+                pos_q = jnp.atleast_1d(jnp.asarray(position))
                 if pos_q.ndim == 1 and pos_q.shape[0] != sq:
                     pos_q = pos_q[:, None] + jnp.arange(sq)[None, :] if pos_q.shape[0] == x.shape[0] else pos_q
             q = rotary_embedding(q, pos_q, self.rope_theta)
