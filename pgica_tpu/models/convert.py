@@ -30,6 +30,40 @@ import numpy as np
 from pgica_tpu.models.presets import LMConfig, ViTConfig
 
 
+def stack_scan_params(backbone: Dict) -> Dict:
+    """Unrolled ``block_0..block_{L-1}`` TransformerLM params -> the stacked
+    ``blocks`` layout used by ``LMConfig.scan_layers`` (leading num_layers dim
+    on every block leaf; lax.scan slices one layer per iteration).
+
+    Non-block leaves (wte/wpe/ln_f) pass through unchanged. Use after
+    :func:`convert_gpt2`/:func:`convert_llama` when the target module scans.
+    """
+    import jax
+
+    names = sorted(
+        (k for k in backbone if k.startswith("block_")), key=lambda s: int(s.split("_")[1])
+    )
+    if not names:
+        raise ValueError("no block_i entries to stack")
+    out = {k: v for k, v in backbone.items() if not k.startswith("block_")}
+    out["blocks"] = jax.tree.map(lambda *xs: np.stack(xs), *(backbone[k] for k in names))
+    return out
+
+
+def unstack_scan_params(backbone: Dict) -> Dict:
+    """Inverse of :func:`stack_scan_params`: stacked ``blocks`` -> block_i."""
+    import jax
+
+    if "blocks" not in backbone:
+        raise ValueError("no stacked 'blocks' entry to unstack")
+    out = {k: v for k, v in backbone.items() if k != "blocks"}
+    stacked = backbone["blocks"]
+    n = np.shape(jax.tree.leaves(stacked)[0])[0]
+    for i in range(n):
+        out[f"block_{i}"] = jax.tree.map(lambda x, i=i: np.asarray(x[i]), stacked)
+    return out
+
+
 def pad_vocab_rows(converted: Dict, module_params: Dict, name: str = "lm") -> Dict:
     """Pad converted ``wte`` rows up to the module's vocabulary size.
 

@@ -51,6 +51,8 @@ class CaptionDecoder(nn.Module):
     # replicated per shard (cross-attention is shard-local). Decode paths are
     # unaffected (caches force the non-ring branch).
     ring_axis: Optional[str] = None
+    # Explicit ZeRO-3 axis (scan_layers only); see TransformerLM.fsdp_axis.
+    fsdp_axis: Optional[str] = None
 
     def setup(self):
         self.vision_projection = nn.Sequential(
@@ -72,6 +74,7 @@ class CaptionDecoder(nn.Module):
         self.lm = self.shared_lm or TransformerLM(
             self.config, with_lm_head=True, dtype=self.dtype,
             attn_impl=self.attn_impl, remat=self.remat, ring_axis=self.ring_axis,
+            fsdp_axis=self.fsdp_axis,
         )
 
     def project_vision(self, vision_embeddings: jax.Array, deterministic: bool = True) -> jax.Array:

@@ -41,6 +41,8 @@ class TextEncoder(nn.Module):
     # (model.share_text_tower; the reference instead keeps two full GPT-2
     # copies, SURVEY §2.2).
     shared_backbone: Optional[TransformerLM] = None
+    # Explicit ZeRO-3 axis (scan_layers only); see TransformerLM.fsdp_axis.
+    fsdp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -54,6 +56,7 @@ class TextEncoder(nn.Module):
         lm = self.shared_backbone or TransformerLM(
             self.config, with_lm_head=False, dtype=self.dtype,
             attn_impl=self.attn_impl, remat=self.remat, name="backbone",
+            fsdp_axis=self.fsdp_axis,
         )
         backbone = lm(
             input_ids=input_ids, attention_mask=attention_mask, deterministic=deterministic

@@ -24,9 +24,17 @@ from pgica_tpu.models.layers import KVCache, TransformerBlock, make_norm
 from pgica_tpu.models.presets import LMConfig
 
 
-def init_kv_cache(cfg: LMConfig, batch: int, max_len: int, dtype=jnp.float32) -> List[KVCache]:
-    """Allocate an all-zeros KV cache pytree for decode."""
+def init_kv_cache(cfg: LMConfig, batch: int, max_len: int, dtype=jnp.float32):
+    """Allocate an all-zeros KV cache pytree for decode.
+
+    Unrolled models get a list of per-layer (k, v) tuples; ``scan_layers``
+    models get ONE (k, v) tuple with a leading num_layers dim (the layout
+    ``lax.scan`` slices/stacks along axis 0).
+    """
     shape = (batch, cfg.kv_heads, max_len, cfg.head_dim)
+    if cfg.scan_layers:
+        stacked = (cfg.num_layers,) + shape
+        return (jnp.zeros(stacked, dtype), jnp.zeros(stacked, dtype))
     return [
         (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)) for _ in range(cfg.num_layers)
     ]
@@ -44,6 +52,12 @@ class TransformerLM(nn.Module):
     # over this axis): self-attention goes through ops/ring_attention and
     # GPT-2's learned positions use each shard's GLOBAL offsets.
     ring_axis: Optional[str] = None
+    # Explicit ZeRO-3 (requires scan_layers; run inside shard_map): block
+    # params arrive as last-dim shards over this axis and are all-gathered
+    # INSIDE the scan body — one layer's full weights live at a time, remat
+    # re-gathers on backward, and the gather's transpose reduce-scatters the
+    # grads. See parallel/zero3.py.
+    fsdp_axis: Optional[str] = None
 
     def setup(self):
         cfg = self.config
@@ -58,29 +72,60 @@ class TransformerLM(nn.Module):
                 name="wpe",
             )
         block_cls = TransformerBlock
-        if self.remat:
-            block_cls = nn.remat(TransformerBlock, static_argnums=(5,))
-        self.blocks = [
-            block_cls(
-                hidden_size=cfg.hidden_size,
-                num_heads=cfg.num_heads,
-                num_kv_heads=cfg.num_kv_heads,
-                intermediate_size=int(cfg.hidden_size * cfg.mlp_ratio),
-                causal=True,
-                dropout=cfg.dropout,
-                norm="rmsnorm" if cfg.arch == "llama" else "layernorm",
-                norm_eps=cfg.norm_eps,
-                mlp_kind="swiglu" if cfg.arch == "llama" else "gelu",
-                use_bias=cfg.arch != "llama",
-                use_rope=cfg.arch == "llama",
-                rope_theta=cfg.rope_theta,
-                dtype=self.dtype,
-                attn_impl=self.attn_impl,
-                ring_axis=self.ring_axis,
-                name=f"block_{i}",
+        if self.fsdp_axis is not None:
+            if not cfg.scan_layers:
+                raise ValueError("fsdp_axis (explicit ZeRO-3) requires scan_layers")
+            from pgica_tpu.parallel.zero3 import gather_layer_params
+
+            axis = self.fsdp_axis
+            # Gather one layer's weights inside the scan body (and, with
+            # remat wrapping OUTSIDE this, inside the remat region — the
+            # backward pass re-gathers instead of saving the full layer).
+            block_cls = nn.map_variables(
+                block_cls, "params",
+                trans_in_fn=lambda vs: gather_layer_params(vs, axis),
+                mutable=False,
             )
-            for i in range(cfg.num_layers)
-        ]
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(5,))
+        block_kwargs = dict(
+            hidden_size=cfg.hidden_size,
+            num_heads=cfg.num_heads,
+            num_kv_heads=cfg.num_kv_heads,
+            intermediate_size=int(cfg.hidden_size * cfg.mlp_ratio),
+            causal=True,
+            dropout=cfg.dropout,
+            norm="rmsnorm" if cfg.arch == "llama" else "layernorm",
+            norm_eps=cfg.norm_eps,
+            mlp_kind="swiglu" if cfg.arch == "llama" else "gelu",
+            use_bias=cfg.arch != "llama",
+            use_rope=cfg.arch == "llama",
+            rope_theta=cfg.rope_theta,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            ring_axis=self.ring_axis,
+        )
+        if cfg.scan_layers:
+            # One block body scanned num_layers times over stacked params
+            # (leading layer dim). Under an fsdp-sharded mesh this is ZeRO-3:
+            # GSPMD places the weight all-gathers inside the scan body, so
+            # only one layer's full weights are live at a time, and remat
+            # re-gathers them on the backward pass.
+            scan_cls = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, 0, nn.broadcast, nn.broadcast),
+                out_axes=0,
+                length=cfg.num_layers,
+            )
+            self.blocks_scan = scan_cls(**block_kwargs, name="blocks")
+            self.blocks = []
+        else:
+            self.blocks = [
+                block_cls(**block_kwargs, name=f"block_{i}")
+                for i in range(cfg.num_layers)
+            ]
         self.ln_f = make_norm("rmsnorm" if cfg.arch == "llama" else "layernorm", self.dtype, cfg.norm_eps)
 
     def embed(self, input_ids: jax.Array, position_offset: int = 0) -> jax.Array:
@@ -139,12 +184,15 @@ class TransformerLM(nn.Module):
             else:
                 mask4 = attention_mask[:, None, None, :].astype(bool)
 
-        new_caches: Optional[List[KVCache]] = [] if caches is not None else None
-        for i, block in enumerate(self.blocks):
-            cache_i = caches[i] if caches is not None else None
-            x, updated = block(x, mask4, cache_i, position, deterministic)
-            if new_caches is not None:
-                new_caches.append(updated)
+        if cfg.scan_layers:
+            x, new_caches = self.blocks_scan(x, mask4, caches, position, deterministic)
+        else:
+            new_caches: Optional[List[KVCache]] = [] if caches is not None else None
+            for i, block in enumerate(self.blocks):
+                cache_i = caches[i] if caches is not None else None
+                x, updated = block(x, mask4, cache_i, position, deterministic)
+                if new_caches is not None:
+                    new_caches.append(updated)
 
         x = self.ln_f(x)
         out = {"hidden_states": x, "caches": new_caches}

@@ -59,6 +59,10 @@ class PreferenceGuidedCaptioningModule(nn.Module):
     # CaptionDecoder.ring_axis. Vision/text towers are NOT sequence-sharded
     # (vision seq = image patches; the text tower is unused in stage 2).
     ring_axis: Optional[str] = None
+    # Explicit ZeRO-3 axis for BOTH text-family towers (scan_layers only; run
+    # inside parallel/zero3.py's shard_map step). The vision tower's unrolled
+    # blocks stay replicated — it is frozen and ~2% of the 8B-scale budget.
+    fsdp_axis: Optional[str] = None
 
     def setup(self):
         self.vision_encoder = VisionEncoder(
@@ -87,12 +91,13 @@ class PreferenceGuidedCaptioningModule(nn.Module):
             self.text_config, self.projection_dim, self.dropout,
             freeze_backbone=self.freeze_text_backbone,
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
-            shared_backbone=shared_lm,
+            shared_backbone=shared_lm, fsdp_axis=self.fsdp_axis,
         )
         self.caption_decoder = CaptionDecoder(
             self.decoder_config, self.projection_dim, dropout=self.dropout,
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
             shared_lm=shared_lm, ring_axis=self.ring_axis,
+            fsdp_axis=self.fsdp_axis,
         )
 
     # -- encoders -----------------------------------------------------------------
@@ -182,17 +187,22 @@ def build_module(
     dtype: Any = jnp.float32,
     attn_impl: str = "auto",
     remat: bool = False,
+    scan_layers: bool = False,
 ) -> PreferenceGuidedCaptioningModule:
     """Resolve presets and construct the composed module.
 
     The decoder is a second full copy of the text architecture, matching the
     reference's duplicated GPT-2 (SURVEY §2.2: AutoModel + GPT2LMHeadModel).
+
+    ``scan_layers`` switches both text towers to the stacked/lax.scan block
+    layout (ZeRO-3 parameter gathering under an fsdp mesh; see LMConfig).
     """
     vision_config = get_vision_config(vision_model)
     base = get_text_config(text_model)
     max_pos = max(base.max_position_embeddings, max_caption_length + 1)
     text_config = get_text_config(
-        text_model, vocab_size=vocab_size, dropout=dropout, max_position_embeddings=max_pos
+        text_model, vocab_size=vocab_size, dropout=dropout,
+        max_position_embeddings=max_pos, scan_layers=scan_layers,
     )
     decoder_config = text_config
     return PreferenceGuidedCaptioningModule(
@@ -233,6 +243,7 @@ class PreferenceGuidedCaptioningModel:
         image_size: Optional[int] = None,
         lora_config: Optional[Dict[str, Any]] = None,
         vocab_size: Optional[int] = None,
+        scan_layers: bool = False,
     ):
         self.tokenizer = tokenizer or CaptionTokenizer.from_pretrained(text_model)
         self.vision_model_name = vision_model
@@ -259,6 +270,7 @@ class PreferenceGuidedCaptioningModel:
             dtype=dtype,
             attn_impl=attn_impl,
             remat=remat,
+            scan_layers=scan_layers,
         )
         self.image_size = image_size or self.module.vision_config.image_size
         from pgica_tpu.core import prng

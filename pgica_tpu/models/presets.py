@@ -47,6 +47,14 @@ class LMConfig:
     arch: str = "gpt2"  # "gpt2": learned pos + LayerNorm + GELU; "llama": RoPE + RMSNorm + SwiGLU
     rope_theta: float = 500000.0
     norm_eps: float = 1e-5
+    # Stack the homogeneous blocks and lax.scan over them (one compiled block
+    # body instead of num_layers copies). With an ``fsdp``-sharded mesh this
+    # is the ZeRO-3 recipe: each scan iteration all-gathers ONE layer's
+    # weights, so the per-device working set is params/num_fsdp + one layer,
+    # and remat re-gathers on the backward pass. Param tree changes from
+    # ``block_i/...`` to a stacked ``blocks/...`` (leading num_layers dim);
+    # models/convert.stack_scan_params converts between the two.
+    scan_layers: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -10,7 +10,10 @@ Tensor-parallel layout follows the Megatron/scaling-book recipe:
   MLP out/down (intermediate, embed): intermediate over ``model``;
 * token embedding (vocab, embed): vocab over ``model`` (weight-tied logits
   are resolved by XLA SPMD with a psum over the model axis);
-* norms/biases/small heads: replicated.
+* norms/biases/small heads: replicated;
+* scan_layers stacked blocks (leading num_layers dim): ``fsdp`` shards the
+  layer dim (whole layers per device, gathered one per scan iteration —
+  ZeRO-3), ``model`` stays on head/intermediate dims.
 
 Every rule degrades gracefully: if a dimension is not divisible by the axis
 size, that axis is dropped (replicated) so tiny test models still compile on
@@ -57,18 +60,42 @@ def _axis_size(mesh: Mesh, axis) -> int:
     return mesh.shape.get(axis, 1)
 
 
+def _apply_dims(dims, shape, mesh) -> P:
+    spec = []
+    for i, axis in enumerate(dims[: len(shape)]):
+        if axis is not None and shape[i] % _axis_size(mesh, axis) == 0 and _axis_size(mesh, axis) > 1:
+            spec.append(axis)
+        else:
+            spec.append(None)
+    spec += [None] * (len(shape) - len(spec))
+    return P(*spec)
+
+
 def infer_param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
-    """Partition spec for one parameter, with divisibility fallback."""
+    """Partition spec for one parameter, with divisibility fallback.
+
+    ``scan_layers`` models stack block params under ``.../blocks/...`` with a
+    leading num_layers dim. For those, ``fsdp`` moves to the LAYER dim: each
+    device owns num_layers/fsdp whole layers, and XLA keeps the weight
+    all-gather INSIDE the scan body (one layer per iteration = ZeRO-3 working
+    set; verified in tests/test_scan_layers.py). Sharding the inner weight
+    dims instead tempts XLA to hoist one big all-gather to the entry — full
+    parameter residency, which is exactly what ZeRO-3 must avoid. ``model``
+    (tensor-parallel) stays on its usual head/intermediate dims. When
+    num_layers is not divisible by fsdp, falls back to inner-dim fsdp
+    (memory still sharded at rest; gathers may hoist).
+    """
+    scanned = "blocks" in path.split("/")
     for pattern, dims in _RULES:
         if re.match(pattern, path):
-            spec = []
-            for i, axis in enumerate(dims[: len(shape)]):
-                if axis is not None and shape[i] % _axis_size(mesh, axis) == 0 and _axis_size(mesh, axis) > 1:
-                    spec.append(axis)
-                else:
-                    spec.append(None)
-            spec += [None] * (len(shape) - len(spec))
-            return P(*spec)
+            if scanned:
+                layer_dims = ("fsdp",) + tuple(
+                    None if a == "fsdp" else a for a in dims
+                )
+                if shape[0] % _axis_size(mesh, "fsdp") == 0:
+                    return _apply_dims(layer_dims, shape, mesh)
+                dims = (None,) + tuple(dims)
+            return _apply_dims(dims, shape, mesh)
     return P()  # replicate
 
 

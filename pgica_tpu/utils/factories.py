@@ -157,6 +157,9 @@ def create_model(config, tokenizer=None, seed: Optional[int] = None):
         remat=bool(config.get("hardware.gradient_checkpointing", False)),
         seed=seed if seed is not None else config.get("training.seed", 42),
         image_size=config.get("data.image_size", None),
+        # stacked-block lax.scan layout; with mesh.fsdp > 1 this is ZeRO-3
+        # (per-layer weight gathers inside the scan body; see LMConfig)
+        scan_layers=bool(config.get("model.scan_layers", False)),
     )
 
 
