@@ -101,6 +101,39 @@ def rotate_3shear(img: jax.Array, theta: jax.Array, max_degrees: float = 5.0, fi
     return jnp.where(valid, out[..., : img.shape[-1]], jnp.asarray(fill, img.dtype))
 
 
+def _rgb_to_hsv(rgb: jax.Array) -> jax.Array:
+    """Elementwise RGB[0,1] -> HSV[0,1] (torchvision/colorsys convention)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    rng = maxc - minc
+    s = jnp.where(maxc > 0, rng / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(rng, 1e-12)
+    rc, gc, bc = (maxc - r) / safe, (maxc - g) / safe, (maxc - b) / safe
+    h = jnp.where(
+        r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(rng > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv: jax.Array) -> jax.Array:
+    """Elementwise HSV[0,1] -> RGB[0,1] — pure where-selects, fuses into the
+    surrounding jitter ops (no gathers/scalar loops)."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    im = i.astype(jnp.int32) % 6
+    r = jnp.select([im == 0, im == 1, im == 2, im == 3, im == 4], [v, q, p, p, t], v)
+    g = jnp.select([im == 0, im == 1, im == 2, im == 3, im == 4], [t, v, v, q, p], p)
+    b = jnp.select([im == 0, im == 1, im == 2, im == 3, im == 4], [p, p, t, v, v], q)
+    return jnp.stack([r, g, b], axis=-1)
+
+
 def _color_jitter(
     key: jax.Array,
     img01: jax.Array,
@@ -109,17 +142,27 @@ def _color_jitter(
     saturation: float = 0.2,
     hue: float = 0.1,
 ) -> jax.Array:
+    """torchvision ColorJitter(0.2, 0.2, 0.2, 0.1) semantics (reference
+    preprocessing.py:61-66): brightness/contrast/saturation are blends
+    against the ITU-R BT.601 luma grayscale, hue is a true HSV hue rotation
+    (h + shift mod 1). Documented deviation: torchvision applies the four
+    ops in a random order per image; here the order is fixed b->c->s->h
+    (a random 4-permutation per image would cost a 24-way lax.switch for a
+    statistically identical jitter distribution)."""
     kb, kc, ks, kh = jax.random.split(key, 4)
     img01 = img01 * jax.random.uniform(kb, (), minval=1 - brightness, maxval=1 + brightness)
-    mean = jnp.mean(img01, axis=(0, 1), keepdims=True)
-    img01 = mean + (img01 - mean) * jax.random.uniform(kc, (), minval=1 - contrast, maxval=1 + contrast)
-    gray = jnp.mean(img01, axis=-1, keepdims=True)
-    img01 = gray + (img01 - gray) * jax.random.uniform(ks, (), minval=1 - saturation, maxval=1 + saturation)
-    # cheap hue shift: blend toward channel-rolled image
+    img01 = jnp.clip(img01, 0.0, 1.0)
+    luma_w = jnp.asarray([0.299, 0.587, 0.114], img01.dtype)
+    gray_mean = jnp.mean(img01 @ luma_w)
+    fc = jax.random.uniform(kc, (), minval=1 - contrast, maxval=1 + contrast)
+    img01 = jnp.clip(img01 * fc + gray_mean * (1 - fc), 0.0, 1.0)
+    gray = (img01 @ luma_w)[..., None]
+    fs = jax.random.uniform(ks, (), minval=1 - saturation, maxval=1 + saturation)
+    img01 = jnp.clip(img01 * fs + gray * (1 - fs), 0.0, 1.0)
     shift = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
-    rolled = jnp.roll(img01, 1, axis=-1)
-    img01 = img01 * (1 - jnp.abs(shift)) + rolled * jnp.abs(shift)
-    return jnp.clip(img01, 0.0, 1.0)
+    hsv = _rgb_to_hsv(img01)
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + shift) % 1.0)
+    return jnp.clip(_hsv_to_rgb(hsv), 0.0, 1.0)
 
 
 _ROTATION_DEGREES = 5.0  # reference preprocessing.py:52-68 RandomRotation(5)

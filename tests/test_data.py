@@ -414,6 +414,44 @@ class TestAugment:
         conj_neg = np.asarray(_rot3_batch(imgs[:, :, ::-1, :], theta))[:, :, ::-1, :]
         np.testing.assert_array_equal(conj_neg, direct_neg)
 
+    def test_hsv_roundtrip_matches_colorsys(self, rng):
+        """_rgb_to_hsv/_hsv_to_rgb implement the colorsys/torchvision
+        convention exactly (true HSV hue rotation, reference
+        preprocessing.py:61-66 ColorJitter(hue=0.1))."""
+        import colorsys
+
+        import jax.numpy as jnp
+
+        from pgica_tpu.data.augment import _hsv_to_rgb, _rgb_to_hsv
+
+        rgb = rng.random((64, 3)).astype(np.float32)
+        hsv = np.asarray(_rgb_to_hsv(jnp.asarray(rgb)))
+        want = np.asarray([colorsys.rgb_to_hsv(*p) for p in rgb], np.float32)
+        np.testing.assert_allclose(hsv, want, atol=1e-5)
+        back = np.asarray(_hsv_to_rgb(jnp.asarray(hsv)))
+        np.testing.assert_allclose(back, rgb, atol=1e-5)
+
+    def test_hue_rotation_matches_colorsys_reference(self, rng):
+        """A hue shift through the batched path equals the per-pixel
+        colorsys h+shift mod 1 reimplementation of torchvision adjust_hue."""
+        import colorsys
+
+        import jax.numpy as jnp
+
+        from pgica_tpu.data.augment import _hsv_to_rgb, _rgb_to_hsv
+
+        rgb = rng.random((5, 7, 3)).astype(np.float32)
+        shift = 0.083
+        hsv = _rgb_to_hsv(jnp.asarray(rgb))
+        hsv = hsv.at[..., 0].set((hsv[..., 0] + shift) % 1.0)
+        got = np.asarray(_hsv_to_rgb(hsv))
+        want = np.empty_like(rgb)
+        for i in range(rgb.shape[0]):
+            for j in range(rgb.shape[1]):
+                h, s, v = colorsys.rgb_to_hsv(*rgb[i, j])
+                want[i, j] = colorsys.hsv_to_rgb((h + shift) % 1.0, s, v)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
 
 class TestDeviceSideNormalization:
     def test_uint8_path_matches_host_normalization(self, temp_dataset_dir):
