@@ -1,7 +1,8 @@
 """Evaluation runner (reference C16, metrics.py:764-1070).
 
-Generates captions over a test loader (per-batch latency capture), computes
-the full metric suite + latency mean/median/p95/p99, writes
+Generates captions over a test loader (per-request latency capture: one
+sample per generate_captions call; tail percentiles only from >= 20 request
+samples), computes the full metric suite + latency stats, writes
 ``predictions.json`` / ``metrics.json``, renders a 2x2 matplotlib summary
 figure with actual-vs-target bars (targets: CIDEr 1.15, win rate 0.72,
 p95 150 ms — reference metrics.py:1006-1010), and aggregates human-eval
@@ -49,7 +50,8 @@ class EvaluationRunner:
         rejected: List[str] = []
         pref_scores: List[float] = []
         image_paths: List[str] = []
-        latencies_ms: List[float] = []
+        latencies_ms: List[float] = []  # one entry per batch (request unit)
+        batch_sizes: List[int] = []
         first_images = None
 
         for i, batch in enumerate(test_loader):
@@ -70,7 +72,11 @@ class EvaluationRunner:
                 length_penalty=float(gen_cfg.get("length_penalty", 1.0)),
             )
             dt_ms = (time.perf_counter() - t0) * 1000.0
-            latencies_ms.extend([dt_ms / max(len(captions), 1)] * len(captions))
+            # ONE latency sample per generate_captions call (the request unit):
+            # replicating dt/batch_size per caption made every percentile
+            # collapse to the mean when batches were few.
+            latencies_ms.append(dt_ms)
+            batch_sizes.append(max(len(captions), 1))
             predictions.extend(captions)
             if "raw_caption" in batch:
                 references.extend([[c] for c in batch["raw_caption"]])
@@ -92,20 +98,47 @@ class EvaluationRunner:
             "preference_scores": pref_scores,
             "image_paths": image_paths,
             "latencies_ms": latencies_ms,
+            "batch_sizes": batch_sizes,
             "sample_images": first_images,
         }
 
-    @staticmethod
-    def _latency_stats(latencies_ms: List[float]) -> Dict[str, float]:
+    # Minimum distinct request samples before tail percentiles mean anything;
+    # below this, p95/p99 of a handful of batches is noise dressed as a tail.
+    MIN_BATCHES_FOR_PERCENTILES = 20
+
+    @classmethod
+    def _latency_stats(
+        cls, latencies_ms: List[float], batch_sizes: Optional[List[int]] = None
+    ) -> Dict[str, float]:
+        """Stats over PER-REQUEST (per generate_captions call) latencies.
+
+        p95/p99 are only emitted from >= MIN_BATCHES_FOR_PERCENTILES request
+        samples — otherwise ``latency_percentiles_omitted`` flags the artifact
+        instead of quoting a percentile over near-identical values (reference
+        metrics.py:844-903 reports per-sample times; its published p95 has the
+        same small-n caveat, unflagged).
+        """
         if not latencies_ms:
             return {}
         arr = np.asarray(latencies_ms)
-        return {
+        out = {
             "latency_ms_mean": float(arr.mean()),
             "latency_ms_median": float(np.median(arr)),
-            "latency_ms_p95": float(np.percentile(arr, 95)),
-            "latency_ms_p99": float(np.percentile(arr, 99)),
+            "latency_n_requests": float(arr.size),
         }
+        if batch_sizes:
+            per_cap = arr / np.maximum(np.asarray(batch_sizes, np.float64), 1.0)
+            out["latency_ms_per_caption_mean"] = float(per_cap.mean())
+        if arr.size >= cls.MIN_BATCHES_FOR_PERCENTILES:
+            out["latency_ms_p95"] = float(np.percentile(arr, 95))
+            out["latency_ms_p99"] = float(np.percentile(arr, 99))
+        else:
+            out["latency_percentiles_omitted"] = 1.0
+            logger.warning(
+                "Only %d request samples (< %d): omitting latency p95/p99",
+                arr.size, cls.MIN_BATCHES_FOR_PERCENTILES,
+            )
+        return out
 
     # ---------------------------------------------------------------- entry point
 
@@ -121,7 +154,7 @@ class EvaluationRunner:
             rejected_captions=data["rejected"] or None,
             preference_scores=data["preference_scores"] or None,
         )
-        metrics.update(self._latency_stats(data["latencies_ms"]))
+        metrics.update(self._latency_stats(data["latencies_ms"], data["batch_sizes"]))
         self._save_predictions(data, metrics)
         try:
             self._generate_visualizations(metrics)
@@ -187,7 +220,7 @@ class EvaluationRunner:
 
         lat_keys = [k for k in metrics if k.startswith("latency_ms")]
         axes[1, 1].bar([k.replace("latency_ms_", "") for k in lat_keys], [metrics[k] for k in lat_keys])
-        axes[1, 1].set_title("Latency (ms/caption)")
+        axes[1, 1].set_title("Latency (ms/request)")
 
         fig.tight_layout()
         out = self.output_dir / "evaluation_summary.png"

@@ -167,7 +167,16 @@ def create_processors(config, tokenizer=None):
     from pgica_tpu.data.preprocessing import ImageProcessor, TextProcessor
 
     tokenizer = tokenizer or create_tokenizer(config)
-    image_processor = ImageProcessor(image_size=config.get("data.image_size", 224))
+    image_processor = ImageProcessor(
+        image_size=config.get("data.image_size", 224),
+        # uint8 wire format: loaders ship raw uint8, normalization happens on
+        # device (augment.prepare_images) — 4x less host->device transfer.
+        # Every consumer (train steps, generate_captions, compute_similarity)
+        # accepts either dtype. serve.py forces this on regardless.
+        device_side_normalization=bool(
+            config.get("data.device_side_normalization", False)
+        ),
+    )
     text_processor = TextProcessor(
         tokenizer=tokenizer, max_length=config.get("data.max_caption_length", 128)
     )

@@ -472,6 +472,25 @@ class TestDeviceSideNormalization:
         x = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
         np.testing.assert_array_equal(np.asarray(prepare_images(x)), x)
 
+    def test_factory_wires_config_key(self, temp_dataset_dir):
+        """data.device_side_normalization routes the uint8 wire format
+        through create_processors (on by default in configs/default.yaml so
+        the production eval path IS the benchmarked path)."""
+        from pgica_tpu.utils.config import Config
+        from pgica_tpu.utils.factories import create_processors
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from conftest import make_config_dict
+
+        cfg = Config(config_dict=make_config_dict(
+            **{"data.device_side_normalization": True, "data.image_size": 32}
+        ))
+        ip, _ = create_processors(cfg)
+        assert ip.device_side_normalization
+        out = ip.process_image(temp_dataset_dir / "images" / "img_0.jpg")
+        assert out.dtype == np.uint8
+        assert Config("configs/default.yaml").get("data.device_side_normalization") is True
+
 
 class TestDatasetTrainedBPE:
     def test_factory_trains_and_caches_bpe(self, temp_dataset_dir, tmp_path):
