@@ -39,8 +39,8 @@ import numpy as np
 class CaptionService:
     """Owns the model and the batching loop."""
 
-    def __init__(self, config, model_path=None, max_batch: int = 8, batch_wait_ms: float = 5.0,
-                 max_length: int = 32):
+    def __init__(self, config, model_path=None, max_batch: int = 32, batch_wait_ms: float = 5.0,
+                 max_length: int = 32, workers: int = 2):
         from pgica_tpu.utils.factories import create_model, create_processors, create_tokenizer
 
         tokenizer = create_tokenizer(config)
@@ -67,7 +67,13 @@ class CaptionService:
         self._served = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._loop, daemon=True)
+        # >1 batching workers pipeline bursts: worker B forms + dispatches its
+        # batch while worker A's decode is still on device (the chip queue
+        # serializes compute; host-side prep and result readback overlap).
+        self._workers = [
+            threading.Thread(target=self._loop, daemon=True)
+            for _ in range(max(1, int(workers)))
+        ]
 
     # -- lifecycle ---------------------------------------------------------------
 
@@ -87,7 +93,8 @@ class CaptionService:
             )
             timings.append((b, time.perf_counter() - t0))
         if start_worker:
-            self._worker.start()
+            for w in self._workers:
+                w.start()
         return timings
 
     def shutdown(self):
@@ -158,6 +165,14 @@ class CaptionService:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
+            # Queue-depth-aware growth: a burst that lands right as the wait
+            # window closes is already queued — take it now (no extra wait)
+            # and ride a larger compiled bucket instead of a second decode.
+            while len(batch) < self.buckets[-1]:
+                try:
+                    batch.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
             bucket = self._bucket(len(batch))
             try:  # keep the server alive; any failure fails only this batch
                 size = self.model.image_size
@@ -220,9 +235,18 @@ def main():
     ap.add_argument("--config", default="configs/default.yaml")
     ap.add_argument("--model-path", default=None)
     ap.add_argument("--port", type=int, default=8077)
-    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument(
+        "--max-batch", type=int, default=32,
+        help="largest compiled decode bucket; bursts up to this size ride ONE "
+             "decode instead of queueing behind a smaller bucket",
+    )
     ap.add_argument("--batch-wait-ms", type=float, default=5.0)
     ap.add_argument("--max-length", type=int, default=32)
+    ap.add_argument(
+        "--workers", type=int, default=2,
+        help="batching loop threads; 2 pipelines host prep of batch B under "
+             "batch A's device decode",
+    )
     ap.add_argument("--platform", default=None, help="force a jax backend, e.g. cpu")
     ap.add_argument(
         "--prejit", action="store_true",
@@ -247,6 +271,7 @@ def main():
     service = CaptionService(
         config, model_path=args.model_path, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, max_length=args.max_length,
+        workers=args.workers,
     )
     if args.prejit:
         print("prejit: compiling decode buckets into the persistent cache...", file=sys.stderr)
