@@ -254,7 +254,105 @@ class PreferenceGuidedTrainer:
                 f"mesh.zero1 shards the optimizer state over the data axis "
                 f"only; set {sorted(bad)} to 1 (got {bad})"
             )
+        if bool(self.config.get("mesh.zero3", False)):
+            raise ValueError("mesh.zero1 and mesh.zero3 are mutually exclusive")
         return True
+
+    # ------------------------------------------------------------- ZeRO-3
+
+    def _zero3_axis(self):
+        """Manual shard axis (name or tuple): every >1 axis among data/fsdp —
+        canonical ZeRO shards batch and params over the SAME devices."""
+        names = tuple(a for a in ("data", "fsdp") if self.mesh.shape.get(a, 1) > 1)
+        return names if len(names) != 1 else names[0]
+
+    def _zero3_active(self, lora) -> bool:
+        """``mesh.zero3`` routes training through the explicit per-layer
+        parameter-gather step (parallel/zero3.py): block params stay sharded
+        at rest and are gathered one scan iteration at a time."""
+        if not bool(self.config.get("mesh.zero3", False)):
+            return False
+        if self.mesh is None or (
+            self.mesh.shape.get("data", 1) * self.mesh.shape.get("fsdp", 1) <= 1
+        ):
+            raise ValueError("mesh.zero3 requires a device mesh with data*fsdp > 1")
+        if not getattr(self.model.module, "text_config").scan_layers:
+            raise ValueError(
+                "mesh.zero3 requires model.scan_layers: true (stacked-block "
+                "lax.scan layout — the per-layer gather hook lives in the "
+                "scan body)"
+            )
+        if lora is not None:
+            raise ValueError("mesh.zero3 does not compose with LoRA")
+        shape = self.mesh.shape
+        bad = {a: shape.get(a, 1) for a in ("dcn", "model", "seq") if shape.get(a, 1) > 1}
+        if bad:
+            raise ValueError(
+                f"mesh.zero3 runs manual over data/fsdp only; set "
+                f"{sorted(bad)} to 1 (got {bad}; use the GSPMD scan_layers "
+                f"path for fsdp x model meshes)"
+            )
+        return True
+
+    def _init_zero3(self, stage: int, cfg, steps_per_epoch: int, loss_fn,
+                    ref_params=None):
+        """(state, jitted step, sharded ref) for the ZeRO-3 path of ``stage``."""
+        from pgica_tpu.parallel.zero3 import make_zero3_train_step
+        from pgica_tpu.training.optim import freeze_labels, warmup_cosine_schedule
+
+        if int(cfg.get("gradient_accumulation_steps", 1)) > 1:
+            raise ValueError(
+                "mesh.zero3 does not support gradient_accumulation_steps > 1 "
+                "(accumulate via a larger data/fsdp world instead)"
+            )
+        axis = self._zero3_axis()
+        names = axis if isinstance(axis, tuple) else (axis,)
+        n = 1
+        for a in names:
+            n *= self.mesh.shape[a]
+        loader = self.train_loader if stage == 1 else self.preference_train_loader
+        batch_size = int(
+            getattr(loader, "batch_size", 0) or cfg.get("batch_size", 0) or 0
+        )
+        if batch_size and batch_size % n:
+            raise ValueError(
+                f"mesh.zero3: global batch_size {batch_size} must be divisible "
+                f"by the data*fsdp world ({n})"
+            )
+        if self.max_steps_per_epoch is not None:
+            steps_per_epoch = min(steps_per_epoch, self.max_steps_per_epoch)
+        total_updates = max(1, steps_per_epoch * int(cfg.get("num_epochs", 1)))
+        schedule = warmup_cosine_schedule(
+            float(cfg.get("learning_rate", 5e-5)),
+            int(cfg.get("warmup_steps", 500)),
+            total_updates,
+        )
+        mask = None
+        if self.model.freeze_vision_backbone or self.model.freeze_text_backbone:
+            labels = freeze_labels(
+                self.model.params,
+                self.model.freeze_vision_backbone,
+                self.model.freeze_text_backbone,
+            )
+            mask = jax.tree.map(lambda label: label == "train", labels)
+        init_fn, step_fn = make_zero3_train_step(
+            loss_fn,
+            mesh=self.mesh.mesh,
+            axis_name=axis,
+            learning_rate=schedule,
+            weight_decay=float(cfg.get("weight_decay", 0.01)),
+            max_grad_norm=float(cfg.get("max_grad_norm", 1.0)),
+            trainable_mask=mask,
+            with_ref=ref_params is not None,
+        )
+        state = self._maybe_resume_opt_state(init_fn(self.model.params))
+        ref_shards = init_fn.shard_ref(ref_params) if ref_params is not None else None
+        self._zero1_gather = step_fn.gather_params
+        logger.info(
+            "Stage %d under ZeRO-3: block params sharded + gathered per layer "
+            "over %s (world %d)", stage, axis, n,
+        )
+        return state, jax.jit(step_fn, donate_argnums=(0,)), ref_shards
 
     def _init_zero1(self, stage: int, cfg, steps_per_epoch: int, loss_fn):
         """Build (state, jitted step) for the ZeRO-1 path of ``stage``."""
@@ -311,8 +409,8 @@ class PreferenceGuidedTrainer:
         return state, jax.jit(step_fn, donate_argnums=(0,))
 
     def _train_params(self, state):
-        """Full parameter tree for a train state (gathers under ZeRO-1)."""
-        if hasattr(state, "param_shard"):
+        """Full parameter tree for a train state (gathers under ZeRO-1/3)."""
+        if hasattr(state, "param_shard") or hasattr(state, "rest_flat"):
             return self._zero1_gather(state)
         return state.params
 
@@ -426,7 +524,29 @@ class PreferenceGuidedTrainer:
         lora = self._lora_static
         temperature = float(self.config.get("model.temperature", 0.5))
 
-        if self._zero1_active(lora):
+        if self._zero3_active(lora):
+            from pgica_tpu.parallel.zero3 import make_zero3_module
+            from pgica_tpu.training.train_step import stage1_loss_fn
+
+            self._lora_base = None
+            axis = self._zero3_axis()
+            module3 = make_zero3_module(self.model.module, axis)
+
+            def z3_loss(params, batch, rng):
+                # Block params arrive as local shards; the module clone
+                # gathers them one layer per scan iteration. NT-Xent
+                # negatives all-gather over the same manual axis.
+                return stage1_loss_fn(
+                    params, batch, rng, module3, temperature,
+                    augment=True, axis_name=axis,
+                )
+
+            state, z_step, _ = self._init_zero3(1, cfg, len(self.train_loader), z3_loss)
+
+            def train_step(state, batch, rng, base_params=None):
+                return z_step(state, batch, rng)
+
+        elif self._zero1_active(lora):
             from pgica_tpu.training.train_step import stage1_loss_fn
 
             self._lora_base = None
@@ -520,7 +640,8 @@ class PreferenceGuidedTrainer:
         lora = self._lora_static
         reference_free = bool(cfg.get("reference_free", False))
         zero1 = self._zero1_active(lora)
-        if not zero1:
+        zero3 = self._zero3_active(lora)
+        if not (zero1 or zero3):
             self._zero1_gather = None
             optimizer = self._make_optimizer(2, len(self.preference_train_loader))
         if lora is not None:
@@ -535,9 +656,12 @@ class PreferenceGuidedTrainer:
                 ref_params = apply_lora(self._lora_base, trainable, alpha=alpha, rank=rank)
         else:
             self._lora_base = None
-            # Under ZeRO-1 the step manages parameter layout itself; the
+            # Under ZeRO-1/3 the step manages parameter layout itself; the
             # GSPMD device_put here would only replicate a second full tree.
-            trainable = self.model.params if zero1 else self._shard_state_params(self.model.params)
+            trainable = (
+                self.model.params if (zero1 or zero3)
+                else self._shard_state_params(self.model.params)
+            )
             # Frozen reference policy = the policy at stage-2 start (standard
             # DPO). Deep copy: the train state is donated, so the reference
             # must own separate buffers. The reference only runs forward in
@@ -560,7 +684,34 @@ class PreferenceGuidedTrainer:
         beta = float(cfg.get("dpo_beta", 0.1))
         length_normalized = bool(cfg.get("length_normalized", False))
         label_smoothing = float(cfg.get("label_smoothing", 0.0))
-        if zero1:
+        if zero3:
+            from pgica_tpu.parallel.zero3 import make_zero3_module
+            from pgica_tpu.training.train_step import stage2_loss_fn
+
+            axis = self._zero3_axis()
+            module3 = make_zero3_module(self.model.module, axis)
+
+            def z3_loss(params, ref_tree, batch, rng):
+                # ref_tree arrives pre-gathered by the zero3 step body (the
+                # frozen reference is sharded at rest via init_fn.shard_ref).
+                return stage2_loss_fn(
+                    params, ref_tree, batch, rng, module3, beta,
+                    reference_free, length_normalized, label_smoothing, True,
+                )
+
+            if reference_free:
+                def z3_loss(params, batch, rng, _fn=z3_loss):  # noqa: E306
+                    return _fn(params, None, batch, rng)
+
+            state, z_step, ref_shards = self._init_zero3(
+                2, cfg, len(self.preference_train_loader), z3_loss,
+                ref_params=None if reference_free else ref_params,
+            )
+
+            def zero1_train_step(state, ref, batch, rng, base_params=None):
+                return z_step(state, batch, rng, ref=ref_shards)
+
+        elif zero1:
             from pgica_tpu.training.train_step import stage2_loss_fn
 
             module = self.model.module
@@ -586,14 +737,14 @@ class PreferenceGuidedTrainer:
         # vocab-parallel shard_map path (sequence_logprobs_from_hidden) so the
         # model-axis-sharded wte is never gathered.
         tp_mesh = None
-        if not zero1 and self.mesh is not None and self.mesh.shape.get("model", 1) > 1 and lora is None:
+        if not (zero1 or zero3) and self.mesh is not None and self.mesh.shape.get("model", 1) > 1 and lora is None:
             tp_mesh = self.mesh.mesh
 
         # Context parallelism (mesh.seq > 1): the decoder's sequence dim is
         # sharded over the 'seq' axis through the loss (training/cp_step.py).
         cp = self.mesh is not None and self.mesh.shape.get("seq", 1) > 1
-        if zero1:
-            # _zero1_active already rejected seq/model > 1 meshes.
+        if zero1 or zero3:
+            # _zero1_active/_zero3_active already rejected seq/model > 1 meshes.
             train_step = zero1_train_step
             eval_step = jax.jit(
                 make_stage2_eval_step(

@@ -590,6 +590,90 @@ class TestZero1Trainer:
             trainer2.train_stage1()
 
 
+class TestZero3Trainer:
+    """mesh.zero3 routes both stages through the explicit per-layer-gather
+    ZeRO-3 step (parallel/zero3.py); requires model.scan_layers."""
+
+    def _scan_model(self, tokenizer):
+        return PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=PROJ,
+            tokenizer=tokenizer, max_caption_length=SEQ, image_size=IMG, seed=0,
+            scan_layers=True,
+        )
+
+    def _items(self, maker, tokenizer, n):
+        items = []
+        for seed in range(n // B):
+            batch = maker(tokenizer, n=B, seed=seed)
+            for i in range(B):
+                items.append({k: np.asarray(v[i]) for k, v in batch.items()})
+        return items
+
+    def test_both_stages_train_on_data_x_fsdp(self, tokenizer, config_dict, tmp_path):
+        from pgica_tpu.parallel.mesh import MeshContext
+
+        model = self._scan_model(tokenizer)
+        config_dict["training"]["stage1"]["num_epochs"] = 1
+        config_dict["training"]["stage1"]["warmup_steps"] = 1
+        config_dict["training"]["stage1"]["learning_rate"] = 1e-2
+        config_dict["training"]["stage2"]["num_epochs"] = 1
+        config_dict["paths"] = {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        }
+        cfg = Config(config_dict=config_dict)
+        cfg.set("mesh.zero3", True)
+        cfg.set("model.scan_layers", True)
+        before_train = np.asarray(
+            model.params["text_encoder"]["projection"]["fc1"]["kernel"]
+        ).copy()
+        before_frozen = np.asarray(
+            model.params["vision_encoder"]["backbone"]["cls_token"]
+        ).copy()
+        items1 = self._items(contrastive_batch, tokenizer, 16)
+        items2 = self._items(preference_batch, tokenizer, 16)
+        trainer = PreferenceGuidedTrainer(
+            model, cfg,
+            train_loader=DataLoader(_ListDS(items1), 8, drop_last=True, prefetch=0),
+            val_loader=DataLoader(_ListDS(items1[:8]), 8, prefetch=0),
+            preference_train_loader=DataLoader(_ListDS(items2), 8, drop_last=True, prefetch=0),
+            preference_val_loader=DataLoader(_ListDS(items2[:8]), 8, prefetch=0),
+            output_dir=str(tmp_path / "out"),
+            mesh=MeshContext(data=2, fsdp=4),
+        )
+        out1 = trainer.train_stage1()
+        assert np.isfinite(out1["best_val_loss"])
+        after = np.asarray(model.params["text_encoder"]["projection"]["fc1"]["kernel"])
+        assert not np.allclose(after, before_train), "ZeRO-3 step did not update params"
+        np.testing.assert_array_equal(
+            np.asarray(model.params["vision_encoder"]["backbone"]["cls_token"]),
+            before_frozen,
+        )
+        assert (tmp_path / "ckpt" / "best_model_stage1").exists()
+        out2 = trainer.train_stage2()
+        assert np.isfinite(out2["best_val_loss"])
+
+    def test_zero3_requires_scan_layers(self, model, tokenizer, config_dict, tmp_path):
+        from pgica_tpu.parallel.mesh import MeshContext
+
+        config_dict["training"]["stage1"]["num_epochs"] = 1
+        config_dict["paths"] = {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        }
+        cfg = Config(config_dict=config_dict)
+        cfg.set("mesh.zero3", True)
+        items = self._items(contrastive_batch, tokenizer, 16)
+        trainer = PreferenceGuidedTrainer(
+            model, cfg,  # unrolled model: no scan_layers
+            train_loader=DataLoader(_ListDS(items), 8, drop_last=True, prefetch=0),
+            output_dir=str(tmp_path / "out"),
+            mesh=MeshContext(data=2, fsdp=4),
+        )
+        with pytest.raises(ValueError, match="scan_layers"):
+            trainer.train_stage1()
+
+
 class TestStage2ReferencePersistence:
     """The frozen DPO reference must anchor to the STAGE-2 START policy even
     across a preemption resume (rebuilding it from the restored mid-training
