@@ -78,16 +78,38 @@ def apply_lora(
     lora: Dict[str, Tuple[jax.Array, jax.Array]],
     alpha: float = 32.0,
     rank: int = 16,
+    dropout: float = 0.0,
+    rng: jax.Array | None = None,
 ) -> Any:
-    """Return params with LoRA deltas merged (pure; used inside jit)."""
+    """Return params with LoRA deltas merged (pure; used inside jit).
+
+    ``dropout`` + ``rng`` enable the training-time regularizer matching peft's
+    ``lora_dropout`` (reference model.py:352-394 via peft's
+    ``nn.Dropout(p)(x) @ A @ B``): input features of the adapter path are
+    dropped by zeroing rows of A (inverted scaling by 1/keep). Because the
+    merge happens once per step, the mask is shared across batch positions —
+    DropConnect on the adapter's input rows, resampled every step — whereas
+    peft resamples per token. Expectation and the "drop adapter inputs"
+    semantics match; only the sampling granularity differs. Pass ``rng=None``
+    (eval) to disable, like torch ``.eval()``.
+    """
     if not lora:
         return params
     scale = alpha / rank
+    masks = {}
+    if dropout > 0.0 and rng is not None:
+        keep = 1.0 - dropout
+        for i, path in enumerate(sorted(lora)):
+            fan_in = lora[path][0].shape[0]
+            bern = jax.random.bernoulli(jax.random.fold_in(rng, i), keep, (fan_in, 1))
+            masks[path] = bern.astype(jnp.float32) / keep
 
     def merge(key_path, leaf):
         path = _flatten(key_path)
         if path in lora:
             a, b = lora[path]
+            if path in masks:
+                a = a * masks[path]
             delta = (a @ b).reshape(leaf.shape) * scale
             return leaf + delta.astype(leaf.dtype)
         return leaf
@@ -129,9 +151,9 @@ def normalize_lora_config(raw: Any) -> Any:
     lora_dropout, reference configs/default.yaml:24-29) -> internal dict
     {rank, alpha, targets, dropout}. Returns None when LoRA is disabled.
 
-    ``lora_dropout`` is accepted for schema parity but inert: the merged-weight
-    formulation (W + (alpha/r)AB inside jit) has no separate low-rank
-    activation path to drop. Documented deviation.
+    ``lora_dropout`` maps to the adapter-input DropConnect implemented in
+    :func:`apply_lora` (active in train steps only; see its docstring for the
+    per-step-vs-per-token sampling deviation from peft).
     """
     if not raw:
         return None

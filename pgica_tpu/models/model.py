@@ -287,9 +287,11 @@ class PreferenceGuidedCaptioningModel:
             from pgica_tpu.models.lora import init_lora
 
             if lora_config.get("dropout", 0.0):
-                logger.warning(
-                    "lora_dropout=%s accepted but inert in the merged-weight "
-                    "formulation (documented deviation)", lora_config["dropout"],
+                logger.info(
+                    "lora_dropout=%s active as per-step adapter-input "
+                    "DropConnect (peft drops per token; see "
+                    "models/lora.py:apply_lora for the documented deviation)",
+                    lora_config["dropout"],
                 )
             self.lora = init_lora(
                 self.params,

@@ -36,7 +36,7 @@ from pgica_tpu.ops.losses import (
 )
 
 
-def _effective_params(params, base_params, lora: Optional[Tuple[float, int]]):
+def _effective_params(params, base_params, lora: Optional[Tuple], rng=None):
     """Resolve the params the module actually runs with.
 
     Full-finetune mode (``lora=None``): ``params`` IS the model tree. LoRA
@@ -45,11 +45,19 @@ def _effective_params(params, base_params, lora: Optional[Tuple[float, int]]):
     inside the jitted step, so XLA fuses the outer products into the
     surrounding graph and the optimizer/donation machinery only ever sees the
     tiny adapter pytree.
+
+    ``lora`` is ``(alpha, rank)`` or ``(alpha, rank, dropout)``; when dropout
+    is set AND ``rng`` is given (train steps only), adapter-input DropConnect
+    is applied at merge time (models/lora.py:apply_lora). Eval paths pass no
+    rng, so dropout is inactive there — torch ``.eval()`` semantics.
     """
     if lora is None:
         return params
-    alpha, rank = lora
-    return apply_lora(base_params, params, alpha=alpha, rank=rank)
+    alpha, rank = lora[0], lora[1]
+    dropout = lora[2] if len(lora) > 2 else 0.0
+    return apply_lora(
+        base_params, params, alpha=alpha, rank=rank, dropout=dropout, rng=rng
+    )
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -163,7 +171,9 @@ def stage1_loss_fn(
     base_params=None,
     lora: Optional[Tuple[float, int]] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    params = _effective_params(params, base_params, lora)
+    # fold_in(7) gives lora-dropout its own stream without perturbing the
+    # aug/dropout split below (keeps non-LoRA graphs bit-identical).
+    params = _effective_params(params, base_params, lora, rng=jax.random.fold_in(rng, 7))
     aug_rng, dropout_rng = jax.random.split(rng)
     images = prepare_images(batch["image"])
     if augment:
@@ -301,7 +311,10 @@ def stage2_loss_fn(
     lora: Optional[Tuple[float, int]] = None,
     mesh=None,
 ):
-    params = _effective_params(params, base_params, lora)
+    # Same fold_in(7) convention as stage1_loss_fn: a dedicated lora-dropout
+    # stream that leaves the aug/dropout split untouched. The frozen DPO
+    # reference (ref_params) is merged WITHOUT dropout by the trainer.
+    params = _effective_params(params, base_params, lora, rng=jax.random.fold_in(rng, 7))
     aug_rng, dropout_rng = jax.random.split(rng)
     images = prepare_images(batch["image"])
     if augment:

@@ -178,10 +178,15 @@ class PreferenceGuidedTrainer:
 
     @property
     def _lora_static(self):
-        """(alpha, rank) when the model carries LoRA adapters, else None."""
+        """(alpha, rank, dropout) when the model carries LoRA adapters, else None.
+
+        dropout feeds the train-time adapter-input DropConnect
+        (models/lora.py:apply_lora); merge sites that must be deterministic
+        (frozen DPO reference, final fold) slice ``[:2]``.
+        """
         cfg = getattr(self.model, "lora_config", None)
         if cfg and getattr(self.model, "lora", None) is not None:
-            return (float(cfg["alpha"]), int(cfg["rank"]))
+            return (float(cfg["alpha"]), int(cfg["rank"]), float(cfg.get("dropout", 0.0)))
         return None
 
     def _make_optimizer(self, stage: int, steps_per_epoch: int):
@@ -652,7 +657,7 @@ class PreferenceGuidedTrainer:
             if not reference_free:
                 from pgica_tpu.models.lora import apply_lora
 
-                alpha, rank = lora
+                alpha, rank = lora[:2]
                 ref_params = apply_lora(self._lora_base, trainable, alpha=alpha, rank=rank)
         else:
             self._lora_base = None
@@ -1019,7 +1024,7 @@ class PreferenceGuidedTrainer:
         cleared to prevent double-merging downstream."""
         from pgica_tpu.models.lora import apply_lora
 
-        alpha, rank = self._lora_static
+        alpha, rank = self._lora_static[:2]
         self.model.params = apply_lora(self._lora_base, self.model.lora, alpha=alpha, rank=rank)
         self.model.lora = None
         logger.info("Folded LoRA adapters into model params for inference")

@@ -150,3 +150,71 @@ def test_lora_stage2_trains_adapters_only(tmp_path):
     q_base = base_before["caption_decoder"]["lm"]["block_0"]["attn"]["q_proj"]["kernel"]
     q_merged = np.asarray(merged["caption_decoder"]["lm"]["block_0"]["attn"]["q_proj"]["kernel"])
     assert not np.allclose(q_base, q_merged), "merged params identical to base"
+
+
+class TestLoraDropout:
+    """lora_dropout as adapter-input DropConnect (reference peft schema
+    lora_dropout, configs/default.yaml:24-29; deviation documented in
+    models/lora.py:apply_lora)."""
+
+    def _nonzero_lora(self, model, rank=4):
+        lora = init_lora(model.params, jax.random.PRNGKey(0), rank=rank)
+        # make B nonzero so the delta (and hence the mask) is observable
+        return {p: (a, jnp.ones_like(b) * 0.1) for p, (a, b) in lora.items()}
+
+    def test_rng_none_disables_dropout(self, model):
+        lora = self._nonzero_lora(model)
+        m1 = apply_lora(model.params, lora, alpha=8.0, rank=4, dropout=0.5, rng=None)
+        m2 = apply_lora(model.params, lora, alpha=8.0, rank=4)
+        for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_dropout_masks_rows_with_inverted_scaling(self, model):
+        lora = self._nonzero_lora(model)
+        path = sorted(lora)[0]
+        sub = {path: lora[path]}
+        rng = jax.random.PRNGKey(3)
+        dropped = apply_lora(model.params, sub, alpha=8.0, rank=4, dropout=0.5, rng=rng)
+        plain = apply_lora(model.params, sub, alpha=8.0, rank=4)
+        base = model.params
+        get = lambda t: np.asarray(
+            jax.tree_util.tree_flatten_with_path(t)[0][
+                [i for i, (kp, _) in enumerate(jax.tree_util.tree_flatten_with_path(base)[0])
+                 if "/".join(str(getattr(k, "key", k)) for k in kp) == path][0]
+            ][1]
+        )
+        d_drop = get(dropped) - get(base)
+        d_plain = get(plain) - get(base)
+        # every input row is either zeroed or scaled by exactly 1/keep
+        row_drop = np.abs(d_drop).sum(axis=tuple(range(1, d_drop.ndim)))
+        row_plain = np.abs(d_plain).sum(axis=tuple(range(1, d_plain.ndim)))
+        zeroed = row_drop < 1e-7
+        kept = ~zeroed
+        assert zeroed.any() and kept.any(), "p=0.5 mask should mix kept/dropped rows"
+        np.testing.assert_allclose(row_drop[kept], row_plain[kept] * 2.0, rtol=1e-4)
+
+    def test_train_step_dropout_changes_loss_and_resamples(self, model):
+        from pgica_tpu.training.train_step import stage1_loss_fn
+
+        lora = self._nonzero_lora(model)
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+            "caption_ids": jnp.asarray(rng.integers(0, 64, (2, 8)).astype(np.int32)),
+            "caption_mask": jnp.ones((2, 8), jnp.int32),
+        }
+        def loss(key, dropout):
+            l, _ = stage1_loss_fn(
+                lora, batch, key, model.module, 0.07, False, None,
+                model.params, (8.0, 4, dropout),
+            )
+            return float(l)
+
+        k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+        assert loss(k1, 0.9) != loss(k1, 0.0), "dropout inert in the train step"
+        assert loss(k1, 0.9) != loss(k2, 0.9), "mask not resampled across rng keys"
+        # the 2-tuple static form still works (back-compat, no dropout)
+        l2, _ = stage1_loss_fn(
+            lora, batch, k1, model.module, 0.07, False, None, model.params, (8.0, 4),
+        )
+        assert np.isfinite(float(l2))
