@@ -352,6 +352,28 @@ def _fork_getitem(i):
     return _FORK_DATASET[i]
 
 
+def _pinned_batch_order(
+    n: int, batch_size: int, shuffle: bool, drop_last: bool, seed: int, epoch: int
+) -> List[List[int]]:
+    """The per-epoch batch order as a pure function of ``(seed, epoch)``.
+
+    Shared by the host loader and the grain workers (which recompute it
+    remotely — see :class:`_MultiEpochBatchSource`) so both always agree on
+    what batch ``b`` of epoch ``e`` contains, including across resume.
+    """
+    order = np.arange(n)
+    if shuffle:
+        rng = np.random.default_rng(seed + epoch)
+        rng.shuffle(order)
+    batches = []
+    for start in range(0, n, batch_size):
+        idx = order[start : start + batch_size]
+        if len(idx) < batch_size and drop_last:
+            continue
+        batches.append(idx.tolist())
+    return batches
+
+
 class _BatchSource:
     """Random-access source of COLLATED batches for the grain worker pool.
 
@@ -372,6 +394,56 @@ class _BatchSource:
 
     def __getitem__(self, i: int):
         return self.collate_fn([self.dataset[j] for j in self.batches[i]])
+
+
+class _MultiEpochBatchSource:
+    """Epoch-aware batch source backing the PERSISTENT grain pool.
+
+    Record ``i`` maps to ``(epoch, batch) = divmod(i, batches_per_epoch)``
+    and the epoch's batch order is recomputed inside the worker from the
+    same pure ``(seed, epoch)`` shuffle that :meth:`DataLoader._batch_indices`
+    uses, so one spawned worker pool serves every epoch of a run instead of
+    paying grain's per-epoch process spawn (~10 s on this host). The order
+    cache holds only the most recent epoch (workers advance monotonically).
+    """
+
+    #: sampler horizon — epochs served by one pool before a rebuild
+    MAX_EPOCHS = 100_000
+
+    def __init__(self, dataset, batch_size, shuffle, drop_last, seed, collate_fn, base=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.collate_fn = collate_fn
+        # global-record offset: a pool built mid-run (resume) starts its
+        # record 0 at (epoch, batch) = divmod(base, batches_per_epoch), so
+        # resume positioning never fetches-and-discards the consumed prefix.
+        self.base = base
+        n = len(dataset)
+        self.batches_per_epoch = (
+            n // batch_size if drop_last else -(-n // batch_size)
+        )
+        self._order_epoch = -1
+        self._order: List[List[int]] = []
+
+    def __len__(self) -> int:
+        return self.batches_per_epoch * self.MAX_EPOCHS - self.base
+
+    def _epoch_order(self, epoch: int) -> List[List[int]]:
+        if epoch != self._order_epoch:
+            self._order = _pinned_batch_order(
+                len(self.dataset), self.batch_size, self.shuffle,
+                self.drop_last, self.seed, epoch,
+            )
+            self._order_epoch = epoch
+        return self._order
+
+    def __getitem__(self, i: int):
+        epoch, b = divmod(i + self.base, self.batches_per_epoch)
+        idx = self._epoch_order(epoch)[b]
+        return self.collate_fn([self.dataset[j] for j in idx])
 
 
 class DataLoader:
@@ -419,18 +491,10 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batch_indices(self) -> List[List[int]]:
-        n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self._epoch)
-            rng.shuffle(order)
-        batches = []
-        for start in range(0, n, self.batch_size):
-            idx = order[start : start + self.batch_size]
-            if len(idx) < self.batch_size and self.drop_last:
-                continue
-            batches.append(idx.tolist())
-        return batches
+        return _pinned_batch_order(
+            len(self.dataset), self.batch_size, self.shuffle, self.drop_last,
+            self.seed, self._epoch,
+        )
 
     def _fetch(self, idx: List[int]):
         if self.num_workers > 1 and self.workers_mode == "process":
@@ -472,25 +536,51 @@ class DataLoader:
         if hasattr(self, "_pool"):
             self._pool.shutdown(wait=False)
             del self._pool
+        self._close_grain()
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the shuffle epoch (torch DistributedSampler convention) so a
         resumed run replays the exact same batch order for that epoch."""
         self._epoch = int(epoch)
 
-    def _grain_iter(self, batches):
+    def _grain_iter(self, epoch: int, start: int, count: int):
         """Multiprocess batch pipeline via grain (``workers_mode="grain"``):
         spawned worker processes each fetch+collate whole batches, with
-        prefetch ahead of the consumer. Deterministic: batch order is fixed
-        by ``_batch_indices`` before workers fan out."""
+        prefetch ahead of the consumer.
+
+        The worker pool is PERSISTENT across epochs: one
+        :class:`_MultiEpochBatchSource` + sequential sampler over the whole
+        run serve every epoch (workers recompute the pinned ``(seed, epoch)``
+        order themselves), so grain's multi-second process spawn is paid once
+        per run, not per epoch — and workers prefetch the next epoch's head
+        while the trainer finishes this one. A non-contiguous request
+        (resume, backward ``set_epoch`` jump) rebuilds the pool positioned at
+        the requested global record via the source's ``base`` offset — never
+        by fetch-and-discard."""
+        target = epoch * self._batches_per_epoch() + start
+        if getattr(self, "_grain_it", None) is None or self._grain_pos != target:
+            self._build_grain_pool(target)
+        for _ in range(count):
+            yield next(self._grain_it)
+            self._grain_pos += 1
+
+    def _batches_per_epoch(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _build_grain_pool(self, base: int):
         import grain.python as pygrain
 
-        src = _BatchSource(self.dataset, batches, self.collate_fn)
+        self._close_grain()
+        src = _MultiEpochBatchSource(
+            self.dataset, self.batch_size, self.shuffle, self.drop_last,
+            self.seed, self.collate_fn, base=base,
+        )
         sampler = pygrain.SequentialSampler(
             num_records=len(src),
             shard_options=pygrain.NoSharding(),
         )
-        dl = pygrain.DataLoader(
+        self._grain_dl = pygrain.DataLoader(
             data_source=src,
             sampler=sampler,
             worker_count=self.num_workers,
@@ -498,7 +588,14 @@ class DataLoader:
                 num_threads=1, prefetch_buffer_size=max(self.prefetch, 1)
             ),
         )
-        yield from dl
+        self._grain_it = iter(self._grain_dl)
+        self._grain_pos = base
+
+    def _close_grain(self):
+        # Dropping the references shuts the spawned workers down (grain
+        # finalizes on GC); explicit so close()/rebuild never leak pools.
+        self._grain_it = None
+        self._grain_dl = None
 
     def iter_batches(self, start: int = 0):
         """Iterate this epoch's batches from index ``start``.
@@ -508,16 +605,17 @@ class DataLoader:
         and discards them — O(epoch) wasted host work after a preemption).
         The batch order is the same pinned per-epoch order as ``__iter__``.
         """
+        epoch = self._epoch
         batches = self._batch_indices()[start:]
         self._epoch += 1
-        return self._iterate(batches)
+        return self._iterate(batches, epoch=epoch, start=start)
 
     def __iter__(self):
         return self.iter_batches(0)
 
-    def _iterate(self, batches):
+    def _iterate(self, batches, epoch: int = 0, start: int = 0):
         if self.workers_mode == "grain" and self.num_workers > 0:
-            yield from self._grain_iter(batches)
+            yield from self._grain_iter(epoch, start, len(batches))
             return
         if self.prefetch <= 0:
             for idx in batches:

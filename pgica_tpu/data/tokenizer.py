@@ -117,6 +117,16 @@ class CaptionTokenizer:
         self._native = None  # lazily-built C++ encoder (see native_bpe.py)
         self._native_tried = False
 
+    def __getstate__(self):
+        """Picklable across process boundaries (grain/fork dataloader workers):
+        the ctypes handle to the C++ encoder is process-local, so drop it and
+        let each worker lazily rebuild its own via ``_native_encoder``."""
+        state = self.__dict__.copy()
+        state["_native"] = None
+        state["_native_tried"] = False
+        state["_cache"] = {}
+        return state
+
     # -- special token properties ------------------------------------------------
 
     @property

@@ -543,15 +543,40 @@ class TestWorkerModes:
         ds = ConceptualCaptionsDataset(
             temp_dataset_dir, ImageProcessor(image_size=32), TextProcessor(max_length=16)
         )
-        inline = DataLoader(ds, batch_size=4)
-        grain_dl = DataLoader(ds, batch_size=4, num_workers=2, workers_mode="grain")
-        got = list(grain_dl)
-        want = list(inline)
-        assert len(got) == len(want)
-        for a, b in zip(want, got):
-            np.testing.assert_array_equal(a["image"], b["image"])
-            np.testing.assert_array_equal(a["caption_ids"], b["caption_ids"])
-            assert a["raw_caption"] == b["raw_caption"]
+        inline = DataLoader(ds, batch_size=4, shuffle=True)
+        grain_dl = DataLoader(
+            ds, batch_size=4, shuffle=True, num_workers=2, workers_mode="grain"
+        )
+        try:
+            # Two consecutive epochs: content matches the inline path exactly
+            # (shuffled orders included) AND the spawned worker pool persists
+            # across the epoch boundary (no per-epoch respawn).
+            for epoch in range(2):
+                got = list(grain_dl)
+                want = list(inline)
+                assert len(got) == len(want)
+                for a, b in zip(want, got):
+                    np.testing.assert_array_equal(a["image"], b["image"])
+                    np.testing.assert_array_equal(a["caption_ids"], b["caption_ids"])
+                    assert a["raw_caption"] == b["raw_caption"]
+                if epoch == 0:
+                    pool = grain_dl._grain_dl
+                else:
+                    assert grain_dl._grain_dl is pool, "grain pool respawned per epoch"
+
+            # Mid-epoch resume: a non-contiguous request repositions via the
+            # source's base offset and replays the pinned tail exactly.
+            inline.set_epoch(5)
+            grain_dl.set_epoch(5)
+            want_tail = list(inline.iter_batches(1))
+            got_tail = list(grain_dl.iter_batches(1))
+            assert grain_dl._grain_dl is not pool, "resume should rebuild positioned pool"
+            assert len(got_tail) == len(want_tail) > 0
+            for a, b in zip(want_tail, got_tail):
+                np.testing.assert_array_equal(a["image"], b["image"])
+                assert a["raw_caption"] == b["raw_caption"]
+        finally:
+            grain_dl.close()
 
 
 class TestIterBatches:
