@@ -26,6 +26,8 @@ from __future__ import annotations
 from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
+
+from pgica_tpu.ops.dropout import FastDropout
 import jax
 import jax.numpy as jnp
 
@@ -61,7 +63,7 @@ class CaptionDecoder(nn.Module):
                 nn.tanh,
             ]
         )
-        self.vision_dropout = nn.Dropout(self.dropout)
+        self.vision_dropout = FastDropout(self.dropout)
         self.cross_attention = MultiHeadAttention(
             hidden_size=self.config.hidden_size,
             num_heads=self.num_cross_heads,

@@ -13,6 +13,8 @@ import functools
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+
+from pgica_tpu.ops.dropout import FastDropout
 import jax
 import jax.numpy as jnp
 
@@ -148,7 +150,7 @@ class MultiHeadAttention(nn.Module):
             param_dtype=jnp.float32, use_bias=self.use_bias, name="out_proj",
         )(out)
         if self.dropout > 0.0:
-            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+            out = FastDropout(self.dropout)(out, deterministic=deterministic)
         return out, new_cache
 
 
@@ -178,7 +180,7 @@ class MLP(nn.Module):
                 h = nn.gelu(h, approximate=True)
             out = dense(self.hidden_size, name="fc_out")(h)
         if self.dropout > 0.0:
-            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+            out = FastDropout(self.dropout)(out, deterministic=deterministic)
         return out
 
 

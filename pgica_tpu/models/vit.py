@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+
+from pgica_tpu.ops.dropout import FastDropout
 import jax
 import jax.numpy as jnp
 
@@ -90,7 +92,7 @@ class ProjectionHead(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         x = nn.Dense(self.projection_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
         x = nn.relu(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = FastDropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.projection_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
         # epsilon 1e-5 = torch nn.LayerNorm default (flax defaults to 1e-6)
         x = nn.LayerNorm(

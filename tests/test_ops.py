@@ -215,3 +215,37 @@ class TestAttention:
         expected = np.einsum("bhqk,bhkd->bhqd", weights, v)
         out = dot_product_attention(q, k, v, impl="xla")
         np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4)
+
+
+class TestFastDropout:
+    """Low-bit dropout (ops/dropout.py): 8 random bits/element, unbiased."""
+
+    def test_zero_rate_and_deterministic_identity(self):
+        from pgica_tpu.ops.dropout import FastDropout, fast_dropout
+
+        x = jnp.arange(12.0).reshape(3, 4)
+        np.testing.assert_array_equal(fast_dropout(jax.random.PRNGKey(0), x, 0.0), x)
+        out = FastDropout(0.5).apply({}, x, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+    def test_unbiased_and_quantized_rate(self):
+        from pgica_tpu.ops.dropout import fast_dropout
+
+        x = jnp.ones((512, 512), jnp.float32)
+        out = np.asarray(fast_dropout(jax.random.PRNGKey(1), x, 0.1))
+        t = round(0.9 * 256)  # 230 -> realized keep 230/256
+        kept = out != 0
+        assert abs(kept.mean() - t / 256) < 0.01
+        # inverse scaling uses the SAME t: kept values are exactly 256/t ...
+        np.testing.assert_allclose(out[kept], 256.0 / t, rtol=1e-6)
+        # ... so the estimator is unbiased
+        assert abs(out.mean() - 1.0) < 0.01
+
+    def test_module_draws_from_dropout_collection(self):
+        from pgica_tpu.ops.dropout import FastDropout
+
+        x = jnp.ones((8, 8))
+        mod = FastDropout(0.5)
+        y1 = mod.apply({}, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(0)})
+        y2 = mod.apply({}, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
+        assert not np.array_equal(np.asarray(y1), np.asarray(y2))
