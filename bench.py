@@ -152,12 +152,21 @@ def run_stage2_bench(batch_size: int = 32, steps: int = 15, warmup: int = 3) -> 
         "preferred_ids": ids, "preferred_mask": mask,
         "rejected_ids": ids, "rejected_mask": mask,
     }
-    # threefry keys here on purpose: the rbg variant of this graph crashes the
-    # remote TPU compile helper at batch 32 on this stack, and threefry@32
-    # (105.5 pairs/s) beats rbg@16 (90.2) anyway.
-    key = jax.random.key(0, impl="threefry2x32")  # typed key carries its impl
-    for _ in range(warmup):
-        state, metrics = step(state, ref_params, batch, key)
+    # Hardware rng keys first (the r2-era compile-helper crash on the rbg
+    # stage-2 graph is gone since the packed-u8 dropout rewrite; rbg measured
+    # 283 ms/step vs threefry 309 at batch 32). Typed keys carry their impl,
+    # so a threefry fallback only costs a recompile if rbg ever regresses.
+    for impl in ("rbg", "threefry2x32"):
+        key = jax.random.key(0, impl=impl)
+        try:
+            for _ in range(warmup):
+                state, metrics = step(state, ref_params, batch, key)
+            break
+        except Exception as e:
+            if impl == "threefry2x32":
+                raise
+            print(f"stage2 rbg keys failed ({type(e).__name__}); falling back "
+                  f"to threefry", file=sys.stderr)
     jax.block_until_ready(metrics["loss"])
     t0 = time.time()
     for _ in range(steps):
