@@ -27,6 +27,8 @@ from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
 
+from pgica_tpu.ops.layernorm import FusedLayerNorm
+
 from pgica_tpu.ops.dropout import FastDropout
 import jax
 import jax.numpy as jnp
@@ -72,7 +74,7 @@ class CaptionDecoder(nn.Module):
             attn_impl="xla",  # single-KV-token attention: MXU-trivial, not flash-worthy
         )
         # epsilon 1e-5 = torch nn.LayerNorm default (reference attention_norm)
-        self.cross_ln = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, epsilon=1e-5)
+        self.cross_ln = FusedLayerNorm(dtype=self.dtype, epsilon=1e-5)
         self.lm = self.shared_lm or TransformerLM(
             self.config, with_lm_head=True, dtype=self.dtype,
             attn_impl=self.attn_impl, remat=self.remat, ring_axis=self.ring_axis,

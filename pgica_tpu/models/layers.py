@@ -24,10 +24,18 @@ KVCache = Tuple[jax.Array, jax.Array]  # (k, v): (B, H_kv, max_len, D)
 
 
 def make_norm(kind: str, dtype, eps: float = 1e-5) -> nn.Module:
-    """eps defaults to 1e-5 (HF GPT-2/CLIP convention, for weight-import parity)."""
+    """eps defaults to 1e-5 (HF GPT-2/CLIP convention, for weight-import parity).
+
+    LayerNorm goes through :class:`pgica_tpu.ops.layernorm.FusedLayerNorm`:
+    identical params/semantics to ``nn.LayerNorm(param_dtype=f32)``, but on
+    TPU the statically-large-row calls run the pallas fused fwd/bwd kernel
+    (CPU and small/decode shapes keep the jnp reference path).
+    """
+    from pgica_tpu.ops.layernorm import FusedLayerNorm, RMSNorm
+
     if kind == "rmsnorm":
-        return nn.RMSNorm(dtype=dtype, param_dtype=jnp.float32, epsilon=eps)
-    return nn.LayerNorm(dtype=dtype, param_dtype=jnp.float32, epsilon=eps)
+        return RMSNorm(dtype=dtype, epsilon=eps)
+    return FusedLayerNorm(dtype=dtype, epsilon=eps)
 
 
 def rotary_embedding(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:

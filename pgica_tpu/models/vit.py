@@ -13,6 +13,8 @@ from typing import Any, Optional
 
 import flax.linen as nn
 
+from pgica_tpu.ops.layernorm import FusedLayerNorm
+
 from pgica_tpu.ops.dropout import FastDropout
 import jax
 import jax.numpy as jnp
@@ -54,7 +56,7 @@ class VisionTransformer(nn.Module):
             "pos_embed", nn.initializers.normal(0.02), (1, n + 1, cfg.hidden_size), jnp.float32
         )
         x = x + pos.astype(self.dtype)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, epsilon=cfg.norm_eps, name="pre_ln")(x)
+        x = FusedLayerNorm(dtype=self.dtype, epsilon=cfg.norm_eps, name="pre_ln")(x)
 
         block_cls = TransformerBlock
         if self.remat:
@@ -74,7 +76,7 @@ class VisionTransformer(nn.Module):
             )(x, None, None, None, deterministic)
 
         features = x
-        pooled = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, epsilon=cfg.norm_eps, name="post_ln")(x[:, 0])
+        pooled = FusedLayerNorm(dtype=self.dtype, epsilon=cfg.norm_eps, name="post_ln")(x[:, 0])
         return {"features": features, "pooled_output": pooled}
 
 
@@ -95,9 +97,7 @@ class ProjectionHead(nn.Module):
         x = FastDropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.projection_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
         # epsilon 1e-5 = torch nn.LayerNorm default (flax defaults to 1e-6)
-        x = nn.LayerNorm(
-            dtype=self.dtype, param_dtype=jnp.float32, epsilon=1e-5, name="ln"
-        )(x)
+        x = FusedLayerNorm(dtype=self.dtype, epsilon=1e-5, name="ln")(x)
         return x
 
 
