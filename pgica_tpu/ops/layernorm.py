@@ -43,10 +43,16 @@ def set_enabled(flag: Optional[bool]) -> None:
 
 
 def _auto_on(rows: int, hidden: int) -> bool:
-    if _ENABLED is not None:
-        return _ENABLED
+    if _ENABLED is None:
+        # Default OFF until the kernel is A/B-measured against XLA's LN
+        # fusions on the target chip (set_enabled(True)/PGICA_FUSED_LN=1):
+        # XLA fuses LN with adjacent residual adds, so "fused LN wins" is an
+        # empirical question per backend, and an unmeasured Mosaic lowering
+        # must not sit on the default path.
+        return False
     return (
-        jax.default_backend() == "tpu"
+        _ENABLED
+        and jax.default_backend() == "tpu"
         and rows >= _MIN_ROWS
         and hidden % 128 == 0
     )
