@@ -40,6 +40,7 @@ class ImageProcessor:
         augment: bool = False,
         normalize: bool = True,
         device_side_normalization: bool = False,
+        native_decode: str = "off",
     ):
         self.image_size = int(image_size)
         self.augment = bool(augment)  # device-side augmentation flag (see augment.py)
@@ -48,6 +49,14 @@ class ImageProcessor:
         # happens on device (augment.prepare_images) — 4x less host->device
         # transfer than float32.
         self.device_side_normalization = bool(device_side_normalization)
+        # "fast": JPEG paths/bytes run native libjpeg decode with DCT-domain
+        # pre-scaling + PIL-BILINEAR-equivalent triangle resize in one C call
+        # (native/image.cpp; ~3x on large photos, within ~1 LSB of the PIL
+        # path on bandlimited content — tests/test_native_image.py). "off"
+        # (default): exact PIL path. Anything the native decoder rejects
+        # (non-JPEG, CMYK, corrupt) silently falls back to PIL.
+        assert native_decode in ("off", "fast"), native_decode
+        self.native_decode = native_decode
 
     # -- host path -------------------------------------------------------------
 
@@ -74,12 +83,37 @@ class ImageProcessor:
         pil = pil.resize((self.image_size, self.image_size), Image.BILINEAR)
         return np.asarray(pil, dtype=np.uint8)
 
+    def _native_decode_resize(self, source):
+        """JPEG path/bytes -> resized u8 via native/image.cpp, else None."""
+        if self.native_decode != "fast":
+            return None
+        if isinstance(source, (str, Path)):
+            try:
+                with open(source, "rb") as f:
+                    head = f.read(3)
+                    if head != b"\xff\xd8\xff":
+                        return None
+                    data = head + f.read()
+            except OSError:
+                return None
+        elif isinstance(source, (bytes, bytearray)):
+            if not bytes(source[:3]) == b"\xff\xd8\xff":
+                return None
+            data = bytes(source)
+        else:
+            return None
+        from pgica_tpu.data.native_image import decode_resize_jpeg
+
+        return decode_resize_jpeg(data, self.image_size, prescale=True)
+
     def process_image(self, source) -> np.ndarray:
         """Full host pipeline: decode → resize → float32 [0,1] → normalize.
 
         Returns (H, W, 3) float32. Invalid inputs raise ValueError.
         """
-        resized = self.resize(self.load_image(source))
+        resized = self._native_decode_resize(source)
+        if resized is None:
+            resized = self.resize(self.load_image(source))
         if self.device_side_normalization:
             return resized  # uint8; see augment.prepare_images
         arr = resized.astype(np.float32) / 255.0

@@ -176,6 +176,9 @@ def create_processors(config, tokenizer=None):
         device_side_normalization=bool(
             config.get("data.device_side_normalization", False)
         ),
+        # "fast" = one-call libjpeg decode + triangle resize with DCT-domain
+        # pre-scaling (native/image.cpp; ~3x on large photos, PIL fallback)
+        native_decode=str(config.get("data.native_decode", "off")),
     )
     text_processor = TextProcessor(
         tokenizer=tokenizer, max_length=config.get("data.max_caption_length", 128)

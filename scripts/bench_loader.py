@@ -36,12 +36,13 @@ def make_dataset(root: Path, n: int, size: int = 384):
     (root / "annotations.json").write_text(json.dumps(records))
 
 
-def run(root: Path, batch: int, num_workers: int, mode: str) -> float:
+def run(root: Path, batch: int, num_workers: int, mode: str, native: str = "off") -> float:
     from pgica_tpu.data.loader import ConceptualCaptionsDataset, DataLoader
     from pgica_tpu.data.preprocessing import ImageProcessor, TextProcessor
 
     ds = ConceptualCaptionsDataset(
-        root, ImageProcessor(image_size=224), TextProcessor(max_length=128)
+        root, ImageProcessor(image_size=224, native_decode=native),
+        TextProcessor(max_length=128),
     )
     loader = DataLoader(ds, batch, shuffle=False, num_workers=num_workers, workers_mode=mode)
     n = 0
@@ -58,11 +59,14 @@ def main():
     ap.add_argument("--images", type=int, default=512)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--size", type=int, default=384, help="source JPEG side")
+    ap.add_argument("--native", default="off", choices=("off", "fast"),
+                    help="ImageProcessor native_decode mode (native/image.cpp)")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as tmp:
         root = Path(tmp)
-        make_dataset(root, args.images)
+        make_dataset(root, args.images, size=args.size)
         for label, workers, mode in (
             ("inline", 0, "thread"),
             (f"{args.workers} threads", args.workers, "thread"),
@@ -70,8 +74,8 @@ def main():
             (f"{args.workers} grain", args.workers, "grain"),
         ):
             # warmup epoch (page cache), then timed epoch
-            run(root, args.batch, workers, mode)
-            rate = run(root, args.batch, workers, mode)
+            run(root, args.batch, workers, mode, native=args.native)
+            rate = run(root, args.batch, workers, mode, native=args.native)
             print(f"{label:>14}: {rate:7.1f} images/s")
 
 
