@@ -557,12 +557,39 @@ class DataLoader:
         (resume, backward ``set_epoch`` jump) rebuilds the pool positioned at
         the requested global record via the source's ``base`` offset — never
         by fetch-and-discard."""
+        if getattr(self, "_grain_busy", False):
+            # A second CONCURRENT iteration of the same loader: the
+            # persistent iterator is owned by the first one, so serve this
+            # iteration from an independent one-shot pipeline (pre-r3
+            # behavior) instead of corrupting the shared position.
+            import grain.python as pygrain
+
+            order = _pinned_batch_order(
+                len(self.dataset), self.batch_size, self.shuffle,
+                self.drop_last, self.seed, epoch,
+            )[start:start + count]
+            src = _BatchSource(self.dataset, order, self.collate_fn)
+            sampler = pygrain.SequentialSampler(
+                num_records=len(src), shard_options=pygrain.NoSharding()
+            )
+            dl = pygrain.DataLoader(
+                data_source=src, sampler=sampler, worker_count=self.num_workers,
+                read_options=pygrain.ReadOptions(
+                    num_threads=1, prefetch_buffer_size=max(self.prefetch, 1)
+                ),
+            )
+            yield from dl
+            return
         target = epoch * self._batches_per_epoch() + start
         if getattr(self, "_grain_it", None) is None or self._grain_pos != target:
             self._build_grain_pool(target)
-        for _ in range(count):
-            yield next(self._grain_it)
-            self._grain_pos += 1
+        self._grain_busy = True
+        try:
+            for _ in range(count):
+                yield next(self._grain_it)
+                self._grain_pos += 1
+        finally:
+            self._grain_busy = False
 
     def _batches_per_epoch(self) -> int:
         n = len(self.dataset)

@@ -644,3 +644,31 @@ class TestExactUnicodePretokenizer:
         # U+00A0 matches \s, so it prefixes... no — only ASCII space prefixes
         # word tokens in GPT-2's ` ?` — NBSP stays a whitespace token.
         assert _pretokenize("a b") == ["a", " ", "b"]
+
+
+@pytest.mark.slow
+def test_grain_concurrent_iterations_independent(temp_dataset_dir):
+    """Two interleaved iterations of one grain loader must not corrupt each
+    other: the second runs on an independent one-shot pipeline while the
+    first owns the persistent pool."""
+    pytest.importorskip("grain")
+    from pgica_tpu.data.loader import ConceptualCaptionsDataset, DataLoader
+    from pgica_tpu.data.preprocessing import ImageProcessor, TextProcessor
+
+    ds = ConceptualCaptionsDataset(
+        temp_dataset_dir, ImageProcessor(image_size=32), TextProcessor(max_length=16)
+    )
+    inline = DataLoader(ds, batch_size=4)
+    g = DataLoader(ds, batch_size=4, num_workers=2, workers_mode="grain")
+    try:
+        want = list(inline)
+        it1, it2 = iter(g), iter(g)
+        a1 = next(it1)           # it1 owns the persistent pool
+        b = list(it2)            # concurrent full epoch via one-shot pipeline
+        a = [a1] + list(it1)     # finish the first iteration
+        for got in (a, b):
+            assert len(got) == len(want)
+            for x, y in zip(want, got):
+                np.testing.assert_array_equal(x["image"], y["image"])
+    finally:
+        g.close()
