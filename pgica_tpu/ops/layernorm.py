@@ -159,7 +159,8 @@ def _pad_rows(x: jax.Array, rows_p: int) -> jax.Array:
 
 
 def _block(rows: int, block_r: int) -> int:
-    return min(block_r, _round_up(rows, 8))
+    # 16-row granularity: bf16's min sublane tile (f32 needs only 8)
+    return min(block_r, _round_up(rows, 16))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
