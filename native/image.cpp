@@ -111,6 +111,10 @@ extern "C" {
 
 // Resize an RGB u8 image (h x w x 3) to (size x size x 3), Pillow-BILINEAR
 // semantics. Returns 0 on success.
+//
+// Horizontal pass resamples within rows; the vertical pass accumulates
+// whole rows (axpy over contiguous out_w*3 floats — auto-vectorizes),
+// matching Pillow's transpose-free structure.
 int pgica_resize_rgb(const uint8_t* in, int h, int w, int size, uint8_t* out) {
   if (!in || !out || h <= 0 || w <= 0 || size <= 0) return 1;
   std::vector<float> src(static_cast<size_t>(h) * w * 3);
@@ -120,22 +124,37 @@ int pgica_resize_rgb(const uint8_t* in, int h, int w, int size, uint8_t* out) {
   std::vector<float> tmp(static_cast<size_t>(h) * size * 3);
   resample_axis(src.data(), h, w, size, tmp.data());
 
-  // Vertical pass: transpose-free by resampling columns — treat the image
-  // as rows of columns via a transposed copy (h x size -> size x size).
-  std::vector<float> tmp_t(static_cast<size_t>(size) * h * 3);
-  for (int y = 0; y < h; ++y)
-    for (int x = 0; x < size; ++x)
-      for (int c = 0; c < 3; ++c)
-        tmp_t[(static_cast<size_t>(x) * h + y) * 3 + c] =
-            tmp[(static_cast<size_t>(y) * size + x) * 3 + c];
-  std::vector<float> out_t(static_cast<size_t>(size) * size * 3);
-  resample_axis(tmp_t.data(), size, h, size, out_t.data());
+  // Vertical pass: weights over input rows, accumulated row-wise.
+  const double scale = static_cast<double>(h) / size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 1.0 * filterscale;
+  const int row_len = size * 3;
+  std::vector<double> acc(row_len);
+  for (int yy = 0; yy < size; ++yy) {
+    double center = (yy + 0.5) * scale;
+    int ymin = static_cast<int>(center - support + 0.5);
+    if (ymin < 0) ymin = 0;
+    int ymax = static_cast<int>(center + support + 0.5);
+    if (ymax > h) ymax = h;
+    ymax -= ymin;
+    double ww = 0.0;
+    std::vector<double> k(ymax);
+    for (int y = 0; y < ymax; ++y) {
+      k[y] = triangle((y + ymin - center + 0.5) / filterscale);
+      ww += k[y];
+    }
+    if (ww != 0.0)
+      for (int y = 0; y < ymax; ++y) k[y] /= ww;
 
-  for (int y = 0; y < size; ++y)
-    for (int x = 0; x < size; ++x)
-      for (int c = 0; c < 3; ++c)
-        out[(static_cast<size_t>(y) * size + x) * 3 + c] =
-            clip8(out_t[(static_cast<size_t>(x) * size + y) * 3 + c]);
+    std::memset(acc.data(), 0, sizeof(double) * row_len);
+    for (int y = 0; y < ymax; ++y) {
+      const float* row = tmp.data() + static_cast<size_t>(y + ymin) * row_len;
+      const double kv = k[y];
+      for (int i = 0; i < row_len; ++i) acc[i] += row[i] * kv;
+    }
+    uint8_t* orow = out + static_cast<size_t>(yy) * row_len;
+    for (int i = 0; i < row_len; ++i) orow[i] = clip8(acc[i]);
+  }
   return 0;
 }
 
