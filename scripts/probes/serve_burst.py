@@ -1,0 +1,60 @@
+"""Live serving burst benchmark against scripts/serve.py on the real chip.
+
+Fires R rounds of C-way concurrent JPEG POSTs (a burst), plus a sequential
+pass, and reports client-side p50/p95/p99 per mode + server /healthz stats.
+"""
+import argparse, io, json, sys, threading, time, urllib.request
+import numpy as np
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--port", type=int, default=8077)
+ap.add_argument("--concurrency", type=int, default=16)
+ap.add_argument("--rounds", type=int, default=8)
+ap.add_argument("--sequential", type=int, default=32)
+a = ap.parse_args()
+base = f"http://127.0.0.1:{a.port}"
+
+rng = np.random.default_rng(0)
+from PIL import Image
+imgs = []
+for i in range(a.concurrency):
+    arr = rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
+    buf = io.BytesIO(); Image.fromarray(arr).save(buf, format="JPEG")
+    imgs.append(buf.getvalue())
+
+def post(body):
+    req = urllib.request.Request(base + "/caption", data=body,
+                                 headers={"Content-Type": "image/jpeg"})
+    t0 = time.perf_counter()
+    r = json.loads(urllib.request.urlopen(req, timeout=120).read())
+    return (time.perf_counter() - t0) * 1000.0, r
+
+# warm each bucket via a few bursts first (compile already done by --prejit/warmup)
+for _ in range(2):
+    ts = [threading.Thread(target=post, args=(imgs[i],)) for i in range(a.concurrency)]
+    [t.start() for t in ts]; [t.join() for t in ts]
+
+# sequential pass
+seq = [post(imgs[i % len(imgs)])[0] for i in range(a.sequential)]
+
+# burst rounds
+burst = []
+for r in range(a.rounds):
+    out = [None] * a.concurrency
+    def worker(i):
+        out[i] = post(imgs[i])[0]
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(a.concurrency)]
+    [t.start() for t in ts]; [t.join() for t in ts]
+    burst.extend(out)
+    time.sleep(0.3)
+
+def pct(xs):
+    xs = np.asarray(xs)
+    return {k: round(float(np.percentile(xs, q)), 1)
+            for k, q in (("p50", 50), ("p95", 95), ("p99", 99))} | {
+            "mean": round(float(xs.mean()), 1), "n": len(xs)}
+
+health = json.loads(urllib.request.urlopen(base + "/healthz", timeout=30).read())
+print(json.dumps({"sequential_ms": pct(seq),
+                  f"burst{a.concurrency}_ms": pct(burst),
+                  "server_healthz": health}, indent=1))

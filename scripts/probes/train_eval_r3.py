@@ -1,0 +1,75 @@
+"""Round-2 end-to-end artifact run: learning-curve training + comprehensive
+evaluation with the trained weights, one process (no 3.2 GB checkpoint
+round-trips over the device tunnel)."""
+import os
+import sys
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/pgica_tpu/xla")
+)
+sys.path.insert(0, "/root/repo")
+from pathlib import Path
+
+
+def main():
+    from pgica_tpu.utils.config import Config
+    from pgica_tpu.utils.factories import (
+        apply_hardware_rng,
+        create_loaders_with_fallback,
+        create_mesh,
+        create_model,
+        create_processors,
+        create_tokenizer,
+        enable_compilation_cache,
+        set_seed,
+        setup_logging,
+    )
+
+    enable_compilation_cache()
+    config = Config("/root/repo/configs/learning_curve.yaml")
+    apply_hardware_rng(config)
+    # Compressed schedule (wall-clock budget): CE plateaus after epoch 1.
+    config.set("training.stage0.num_epochs", 3)
+    config.set("training.stage1.num_epochs", 4)
+    config.set("training.stage2.num_epochs", 1)
+    out = "/root/repo/outputs/lc_r3"
+    config.set("paths.output_dir", out)
+    config.set("paths.checkpoint_dir", out + "/checkpoints")
+
+    setup_logging("./logs", "INFO")
+    set_seed(config.get("training.seed", 42))
+
+    tokenizer = create_tokenizer(config)
+    ip, tp = create_processors(config, tokenizer)
+    model = create_model(config, tokenizer)
+    tr, va, _ = create_loaders_with_fallback(config, ip, tp, kind="conceptual")
+    ptr, pva, _ = create_loaders_with_fallback(config, ip, tp, kind="ultrafeedback")
+
+    from pgica_tpu.training.trainer import PreferenceGuidedTrainer
+
+    trainer = PreferenceGuidedTrainer(
+        model, config,
+        train_loader=tr, val_loader=va,
+        preference_train_loader=ptr, preference_val_loader=pva,
+        mesh=create_mesh(config), output_dir=out,
+    )
+    results = trainer.train()
+    print("TRAIN DONE:", {k: (v.get("best_val_loss") if isinstance(v, dict) else v)
+                          for k, v in results.items()})
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import run_evaluation as re_mod
+
+    # Eval at request-sized batches (8) AFTER training: >=20 generate calls
+    # so the honest latency accounting emits real percentiles (the runner
+    # gates tails on latency_n_requests >= 20). Training loaders above were
+    # already built with the training batch size.
+    config.set("training.stage1.batch_size", 8)
+
+    report = re_mod.run_comprehensive_evaluation(
+        config, model, "conceptual", Path(out) / "eval", max_samples=256
+    )
+    print("EVAL DONE")
+
+
+main()
