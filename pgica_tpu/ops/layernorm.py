@@ -44,11 +44,13 @@ def set_enabled(flag: Optional[bool]) -> None:
 
 def _auto_on(rows: int, hidden: int) -> bool:
     if _ENABLED is None:
-        # Default OFF until the kernel is A/B-measured against XLA's LN
-        # fusions on the target chip (set_enabled(True)/PGICA_FUSED_LN=1):
-        # XLA fuses LN with adjacent residual adds, so "fused LN wins" is an
-        # empirical question per backend, and an unmeasured Mosaic lowering
-        # must not sit on the default path.
+        # Default OFF — decided by the interleaved on-chip A/B
+        # (results/PROFILE_stage2.md): XLA's LN+residual fusions beat this
+        # kernel by ~3.8% on the stage-2 step at batch 16, and at batch 32
+        # the pallas call acts as a fusion barrier that materializes f32
+        # activations XLA would otherwise remat, OOMing the 16 GB chip.
+        # Kept for backends/shapes where XLA's fusion heuristics differ
+        # (set_enabled(True)/PGICA_FUSED_LN=1).
         return False
     return (
         _ENABLED

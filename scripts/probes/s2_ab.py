@@ -5,7 +5,7 @@ differ only in their jitted step function (dropout lowering, rng key type,
 reference-free). R rounds of K timed steps interleaved across configs so
 tunnel drift hits every config equally; per-config median ms/step.
 """
-import sys, time, json
+import argparse, sys, time, json
 sys.path.insert(0, "/root/repo")
 import numpy as np
 import jax, jax.numpy as jnp
@@ -21,7 +21,18 @@ from pgica_tpu.ops import layernorm as ln_mod
 _enable_compile_cache()
 print(json.dumps({"backend": jax.default_backend()}), flush=True)
 
-BS, K, R = 32, 4, 4
+# All six executables resident at once OOM the 16 GB chip; worse, the
+# fused-LN config alone OOMs at batch 32 with remat=False (pallas LN is a
+# fusion barrier, so f32 activations that XLA remats inside fusions get
+# materialized for backward: program temp 6.88G + args 9.83G > 15.75G).
+# Run anchored subsets (always include "main") at --bs 16.
+ap = argparse.ArgumentParser()
+ap.add_argument("--only", type=str, default="",
+                help="comma-separated config subset, e.g. main,ln_xla")
+ap.add_argument("--bs", type=int, default=32)
+args = ap.parse_args()
+
+BS, K, R = args.bs, 4, 4
 
 
 def make_module(dropout):
@@ -50,14 +61,19 @@ key_tf = jax.random.key(0, impl="threefry2x32")
 key_rbg = jax.random.key(0, impl="rbg")
 
 configs = {
-    # main = shipping default: packed dropout + fused LN + rbg keys
-    "main": dict(impl="packed", ln=True, mod=module, key=key_rbg, rf=False),
-    "ln_xla": dict(impl="packed", ln=False, mod=module, key=key_rbg, rf=False),
-    "drop_flax": dict(impl="flax", ln=True, mod=module, key=key_rbg, rf=False),
-    "tf_keys": dict(impl="packed", ln=True, mod=module, key=key_tf, rf=False),
-    "no_drop": dict(impl="packed", ln=True, mod=module0, key=key_rbg, rf=False),
-    "no_ref": dict(impl="packed", ln=True, mod=module, key=key_rbg, rf=True),
+    # main = shipping default: packed dropout + XLA-fused LN + rbg keys.
+    # (Measured bs16: pallas fused-LN 170.0 ms/step vs XLA LN 163.8 — XLA
+    # wins, and the pallas variant OOMs at bs32 remat=False; default off.)
+    "main": dict(impl="packed", ln=False, mod=module, key=key_rbg, rf=False),
+    "ln_pallas": dict(impl="packed", ln=True, mod=module, key=key_rbg, rf=False),
+    "drop_flax": dict(impl="flax", ln=False, mod=module, key=key_rbg, rf=False),
+    "tf_keys": dict(impl="packed", ln=False, mod=module, key=key_tf, rf=False),
+    "no_drop": dict(impl="packed", ln=False, mod=module0, key=key_rbg, rf=False),
+    "no_ref": dict(impl="packed", ln=False, mod=module, key=key_rbg, rf=True),
 }
+only = [s for s in args.only.split(",") if s]
+if only:
+    configs = {n: configs[n] for n in only}
 steps = {}
 for name, c in configs.items():
     t0 = time.time()
