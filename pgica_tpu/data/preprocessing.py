@@ -61,11 +61,18 @@ class ImageProcessor:
     # -- host path -------------------------------------------------------------
 
     def load_image(self, source) -> "np.ndarray":
-        """PIL-decode a path/file/PIL image to uint8 RGB (H, W, 3)."""
+        """PIL-decode a path/file/bytes/PIL image to uint8 RGB (H, W, 3)."""
+        import io
+
         from PIL import Image
 
         if isinstance(source, (str, Path)):
             img = Image.open(source)
+        elif isinstance(source, (bytes, bytearray)):
+            # Encoded image bytes (serving wire format): JPEGs normally take
+            # the native fast path before reaching here; this is the PIL
+            # fallback for PNG/WebP/CMYK/corrupt-JPEG bytes.
+            img = Image.open(io.BytesIO(source))
         elif isinstance(source, Image.Image):
             img = source
         elif isinstance(source, np.ndarray):

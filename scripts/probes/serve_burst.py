@@ -22,12 +22,25 @@ for i in range(a.concurrency):
     buf = io.BytesIO(); Image.fromarray(arr).save(buf, format="JPEG")
     imgs.append(buf.getvalue())
 
+errors = []
+
+
 def post(body):
-    req = urllib.request.Request(base + "/caption", data=body,
-                                 headers={"Content-Type": "image/jpeg"})
-    t0 = time.perf_counter()
-    r = json.loads(urllib.request.urlopen(req, timeout=120).read())
-    return (time.perf_counter() - t0) * 1000.0, r
+    # One retry on transient socket resets (ThreadingHTTPServer under a
+    # 16-way connect storm occasionally drops an accept); the retry is
+    # re-timed from its own start so a dropped connection never pollutes
+    # the latency sample it replaces.
+    for attempt in (0, 1):
+        req = urllib.request.Request(base + "/caption", data=body,
+                                     headers={"Content-Type": "image/jpeg"})
+        t0 = time.perf_counter()
+        try:
+            r = json.loads(urllib.request.urlopen(req, timeout=120).read())
+            return (time.perf_counter() - t0) * 1000.0, r
+        except (ConnectionError, OSError) as e:  # noqa: PERF203
+            errors.append(repr(e))
+            if attempt:
+                raise
 
 # warm each bucket via a few bursts first (compile already done by --prejit/warmup)
 for _ in range(2):
@@ -38,14 +51,17 @@ for _ in range(2):
 seq = [post(imgs[i % len(imgs)])[0] for i in range(a.sequential)]
 
 # burst rounds
-burst = []
+burst, rounds = [], []
 for r in range(a.rounds):
     out = [None] * a.concurrency
     def worker(i):
-        out[i] = post(imgs[i])[0]
+        res = post(imgs[i])
+        out[i] = res[0] if res else None
     ts = [threading.Thread(target=worker, args=(i,)) for i in range(a.concurrency)]
     [t.start() for t in ts]; [t.join() for t in ts]
-    burst.extend(out)
+    got = [x for x in out if x is not None]
+    rounds.append({"min": round(min(got), 1), "max": round(max(got), 1)})
+    burst.extend(got)
     time.sleep(0.3)
 
 def pct(xs):
@@ -55,6 +71,9 @@ def pct(xs):
             "mean": round(float(xs.mean()), 1), "n": len(xs)}
 
 health = json.loads(urllib.request.urlopen(base + "/healthz", timeout=30).read())
+burst = [b for b in burst if b is not None]
 print(json.dumps({"sequential_ms": pct(seq),
                   f"burst{a.concurrency}_ms": pct(burst),
+                  "burst_rounds_minmax_ms": rounds,
+                  "retried_connection_errors": len(errors),
                   "server_healthz": health}, indent=1))

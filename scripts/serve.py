@@ -40,7 +40,7 @@ class CaptionService:
     """Owns the model and the batching loop."""
 
     def __init__(self, config, model_path=None, max_batch: int = 32, batch_wait_ms: float = 5.0,
-                 max_length: int = 32, workers: int = 2):
+                 max_length: int = 32, workers: int = 2, batch_wait_max_ms: float = 25.0):
         from pgica_tpu.utils.factories import create_model, create_processors, create_tokenizer
 
         tokenizer = create_tokenizer(config)
@@ -60,6 +60,7 @@ class CaptionService:
             self.model.params = jax.tree.map(jnp.asarray, effective_params(payload))
         self.max_batch = int(max_batch)
         self.batch_wait_s = float(batch_wait_ms) / 1000.0
+        self.batch_wait_max_s = max(float(batch_wait_max_ms) / 1000.0, self.batch_wait_s)
         self.max_length = int(max_length)
         self.buckets = [b for b in (1, 2, 4, 8, 16, 32, 64) if b <= self.max_batch]
         self._queue: "queue.Queue" = queue.Queue()
@@ -154,15 +155,25 @@ class CaptionService:
                 continue
             batch = [first]
             deadline = time.perf_counter() + self.batch_wait_s
+            hard_deadline = time.perf_counter() + self.batch_wait_max_s
             # Cap at the largest COMPILED bucket, not max_batch: with e.g.
             # --max-batch 12 the buckets are [1,2,4,8] and gathering 12
             # requests would overflow the 8-wide bucket array.
             while len(batch) < self.buckets[-1]:
-                remaining = deadline - time.perf_counter()
+                remaining = min(deadline, hard_deadline) - time.perf_counter()
                 if remaining <= 0:
                     break
                 try:
                     batch.append(self._queue.get(timeout=remaining))
+                    # Adaptive window: every arrival extends the deadline by
+                    # one base window (Nagle-style), bounded by the hard cap.
+                    # A lone request still dispatches after batch_wait_ms; a
+                    # burst whose requests trickle in through handler threads
+                    # coalesces into ONE wide decode instead of several
+                    # staggered narrow ones (each narrow decode occupies the
+                    # chip for a full generate, so fragmenting a burst
+                    # multiplies tail latency).
+                    deadline = time.perf_counter() + self.batch_wait_s
                 except queue.Empty:
                     break
             # Queue-depth-aware growth: a burst that lands right as the wait
@@ -218,11 +229,11 @@ def make_handler(service: CaptionService):
                     arr = np.asarray(json.loads(raw)["image"], np.float32)
                     image = service.image_processor.process_image(arr.astype(np.uint8))
                 else:
-                    import io
-
-                    from PIL import Image
-
-                    image = service.image_processor.process_image(Image.open(io.BytesIO(raw)))
+                    # Raw bytes go straight to process_image: JPEGs take the
+                    # native libjpeg decode+resize (one GIL-dropping C call,
+                    # data.native_decode: fast); anything else falls back to
+                    # PIL inside the processor.
+                    image = service.image_processor.process_image(raw)
                 self._send(200, service.submit(image))
             except Exception as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
@@ -241,6 +252,12 @@ def main():
              "decode instead of queueing behind a smaller bucket",
     )
     ap.add_argument("--batch-wait-ms", type=float, default=5.0)
+    ap.add_argument(
+        "--batch-wait-max-ms", type=float, default=25.0,
+        help="hard cap on the adaptive batching window: each arrival extends "
+             "the window by --batch-wait-ms (so a burst coalesces into one "
+             "wide decode), but never past this cap",
+    )
     ap.add_argument("--max-length", type=int, default=32)
     ap.add_argument(
         "--workers", type=int, default=2,
@@ -271,7 +288,7 @@ def main():
     service = CaptionService(
         config, model_path=args.model_path, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, max_length=args.max_length,
-        workers=args.workers,
+        workers=args.workers, batch_wait_max_ms=args.batch_wait_max_ms,
     )
     if args.prejit:
         print("prejit: compiling decode buckets into the persistent cache...", file=sys.stderr)
