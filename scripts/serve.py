@@ -40,7 +40,7 @@ class CaptionService:
     """Owns the model and the batching loop."""
 
     def __init__(self, config, model_path=None, max_batch: int = 32, batch_wait_ms: float = 5.0,
-                 max_length: int = 32, workers: int = 2, batch_wait_max_ms: float = 25.0):
+                 max_length: int = 32, workers: int = 2, batch_wait_max_ms: float = 75.0):
         from pgica_tpu.utils.factories import create_model, create_processors, create_tokenizer
 
         tokenizer = create_tokenizer(config)
@@ -68,9 +68,24 @@ class CaptionService:
         self._served = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
-        # >1 batching workers pipeline bursts: worker B forms + dispatches its
-        # batch while worker A's decode is still on device (the chip queue
-        # serializes compute; host-side prep and result readback overlap).
+        # One decode occupies the chip at a time; a worker that dispatched
+        # while another decode is in flight would only fragment a burst into
+        # serialized narrow decodes (measured: 16-way burst p95 1.2 s vs
+        # ~0.3 s coalesced). Workers hold this lock across generate_captions
+        # and keep DRAINING the queue while waiting for it, so everything
+        # that arrives during decode A rides ONE decode B.
+        self._device = threading.Lock()
+        # Requests that the HTTP layer has ACCEPTED but not yet enqueued
+        # (payload still being read/JPEG-decoded by a handler thread). A
+        # 16-way burst is visible here tens of ms before the images reach
+        # the queue on a busy host; the batching window stays open while
+        # this is non-zero (bounded by batch_wait_max_ms) so the burst
+        # rides ONE wide decode instead of a premature narrow one + a wide
+        # one. A stalled client can hold the window open for at most the
+        # hard cap per batch.
+        self._arriving = 0
+        # >1 batching workers pipeline bursts: worker B forms its batch (and
+        # absorbs the queue) while worker A's decode is still on device.
         self._workers = [
             threading.Thread(target=self._loop, daemon=True)
             for _ in range(max(1, int(workers)))
@@ -103,23 +118,42 @@ class CaptionService:
 
     # -- request path -------------------------------------------------------------
 
-    def submit(self, image: np.ndarray, timeout: float = 30.0) -> dict:
+    def begin_arrival(self):
+        """Signal an accepted request whose payload is still being parsed.
+
+        Call before the (possibly slow) body read + image decode; pass
+        ``arrived=True`` to the matching :meth:`submit` so the counter drops
+        the moment the request is enqueued. On a parse failure, call
+        :meth:`abort_arrival` instead.
+        """
+        with self._lock:
+            self._arriving += 1
+
+    def abort_arrival(self):
+        with self._lock:
+            self._arriving = max(0, self._arriving - 1)
+
+    def submit(self, image: np.ndarray, timeout: float = 30.0, arrived: bool = False) -> dict:
         """Blocking single-request API used by the HTTP handler threads."""
-        image = np.asarray(image)
-        if image.dtype != np.uint8:
-            # The batch buffer is uint8 (wire format); a silent cast would
-            # turn [0,1]-normalized floats into all-zero images. Accept
-            # [0,255]-ranged floats, reject normalized ones loudly. An
-            # all-zero image is black under either convention — allow it.
-            if np.issubdtype(image.dtype, np.floating) and image.size and 0.0 < image.max() <= 1.0:
-                raise ValueError(
-                    "submit() expects uint8 images in [0, 255] (got normalized "
-                    f"float with max {float(image.max()):.3f}); multiply by 255 first"
-                )
-            image = np.clip(image, 0, 255).astype(np.uint8)
-        done = threading.Event()
-        slot = {"image": image, "event": done, "caption": None, "t0": time.perf_counter()}
-        self._queue.put(slot)
+        try:
+            image = np.asarray(image)
+            if image.dtype != np.uint8:
+                # The batch buffer is uint8 (wire format); a silent cast would
+                # turn [0,1]-normalized floats into all-zero images. Accept
+                # [0,255]-ranged floats, reject normalized ones loudly. An
+                # all-zero image is black under either convention — allow it.
+                if np.issubdtype(image.dtype, np.floating) and image.size and 0.0 < image.max() <= 1.0:
+                    raise ValueError(
+                        "submit() expects uint8 images in [0, 255] (got normalized "
+                        f"float with max {float(image.max()):.3f}); multiply by 255 first"
+                    )
+                image = np.clip(image, 0, 255).astype(np.uint8)
+            done = threading.Event()
+            slot = {"image": image, "event": done, "caption": None, "t0": time.perf_counter()}
+            self._queue.put(slot)
+        finally:
+            if arrived:
+                self.abort_arrival()  # enqueued (or rejected): not "arriving"
         if not done.wait(timeout):
             raise TimeoutError("caption request timed out")
         latency_ms = 1000.0 * (time.perf_counter() - slot["t0"])
@@ -133,7 +167,8 @@ class CaptionService:
         with self._lock:
             lat = list(self._latencies)
             served = self._served
-        out = {"status": "ok", "served": served}
+            arriving = self._arriving
+        out = {"status": "ok", "served": served, "arriving": arriving}
         if lat:
             out["p50_ms"] = round(float(np.percentile(lat, 50)), 2)
             out["p95_ms"] = round(float(np.percentile(lat, 95)), 2)
@@ -160,39 +195,58 @@ class CaptionService:
             # --max-batch 12 the buckets are [1,2,4,8] and gathering 12
             # requests would overflow the 8-wide bucket array.
             while len(batch) < self.buckets[-1]:
-                remaining = min(deadline, hard_deadline) - time.perf_counter()
-                if remaining <= 0:
+                now = time.perf_counter()
+                if now >= hard_deadline:
                     break
+                if now >= deadline and self._arriving <= 0:
+                    break
+                # Adaptive window: every arrival extends the deadline by one
+                # base window (Nagle-style), and the window also stays open
+                # while the HTTP layer holds ACCEPTED requests whose payloads
+                # are still being parsed (begin_arrival) — both bounded by
+                # the hard cap. A lone request still dispatches after
+                # batch_wait_ms; a burst whose requests trickle in through
+                # handler threads (16 JPEG decodes contend for host cores)
+                # coalesces into ONE wide decode instead of a premature
+                # narrow one + a wide one (each decode occupies the chip for
+                # a full generate, so fragmenting a burst multiplies tail
+                # latency — measured 2x p95 on a 16-way burst).
+                wait = min(max(deadline - now, 0.002), hard_deadline - now)
                 try:
-                    batch.append(self._queue.get(timeout=remaining))
-                    # Adaptive window: every arrival extends the deadline by
-                    # one base window (Nagle-style), bounded by the hard cap.
-                    # A lone request still dispatches after batch_wait_ms; a
-                    # burst whose requests trickle in through handler threads
-                    # coalesces into ONE wide decode instead of several
-                    # staggered narrow ones (each narrow decode occupies the
-                    # chip for a full generate, so fragmenting a burst
-                    # multiplies tail latency).
+                    batch.append(self._queue.get(timeout=wait))
                     deadline = time.perf_counter() + self.batch_wait_s
                 except queue.Empty:
-                    break
-            # Queue-depth-aware growth: a burst that lands right as the wait
-            # window closes is already queued — take it now (no extra wait)
-            # and ride a larger compiled bucket instead of a second decode.
-            while len(batch) < self.buckets[-1]:
-                try:
-                    batch.append(self._queue.get_nowait())
-                except queue.Empty:
-                    break
-            bucket = self._bucket(len(batch))
-            try:  # keep the server alive; any failure fails only this batch
-                size = self.model.image_size
-                images = np.zeros((bucket, size, size, 3), np.uint8)
-                for i, slot in enumerate(batch):
-                    images[i] = slot["image"]
-                captions = self.model.generate_captions(images, max_length=self.max_length)
-            except Exception as e:
-                captions = [f"<error: {type(e).__name__}>"] * bucket
+                    pass
+            # Wait for the chip, absorbing the queue the whole time: anything
+            # that arrives while another worker's decode is in flight joins
+            # THIS batch instead of spawning a third serialized decode. The
+            # tail under a burst is then bounded by window + 2 decodes.
+            while not self._device.acquire(timeout=0.002):
+                while len(batch) < self.buckets[-1]:
+                    try:
+                        batch.append(self._queue.get_nowait())
+                    except queue.Empty:
+                        break
+            try:
+                # Final queue-depth-aware drain: a burst that lands right as
+                # the wait window closes is already queued — take it now (no
+                # extra wait) and ride a larger compiled bucket.
+                while len(batch) < self.buckets[-1]:
+                    try:
+                        batch.append(self._queue.get_nowait())
+                    except queue.Empty:
+                        break
+                bucket = self._bucket(len(batch))
+                try:  # keep the server alive; any failure fails only this batch
+                    size = self.model.image_size
+                    images = np.zeros((bucket, size, size, 3), np.uint8)
+                    for i, slot in enumerate(batch):
+                        images[i] = slot["image"]
+                    captions = self.model.generate_captions(images, max_length=self.max_length)
+                except Exception as e:
+                    captions = [f"<error: {type(e).__name__}>"] * bucket
+            finally:
+                self._device.release()
             for i, slot in enumerate(batch):
                 slot["caption"] = captions[i]
                 slot["event"].set()
@@ -221,9 +275,14 @@ def make_handler(service: CaptionService):
             if self.path != "/caption":
                 self._send(404, {"error": "unknown path"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
-            raw = self.rfile.read(length)
+            # Announce the request BEFORE the body read + image decode: on a
+            # busy host a burst's payload parsing trickles over tens of ms,
+            # and the batching window stays open for announced arrivals so
+            # the whole burst rides one decode.
+            service.begin_arrival()
             try:
+                length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length)
                 ctype = self.headers.get("Content-Type", "")
                 if ctype.startswith("application/json"):
                     arr = np.asarray(json.loads(raw)["image"], np.float32)
@@ -234,7 +293,12 @@ def make_handler(service: CaptionService):
                     # data.native_decode: fast); anything else falls back to
                     # PIL inside the processor.
                     image = service.image_processor.process_image(raw)
-                self._send(200, service.submit(image))
+            except Exception as e:
+                service.abort_arrival()
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
+                self._send(200, service.submit(image, arrived=True))
             except Exception as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -253,10 +317,11 @@ def main():
     )
     ap.add_argument("--batch-wait-ms", type=float, default=5.0)
     ap.add_argument(
-        "--batch-wait-max-ms", type=float, default=25.0,
-        help="hard cap on the adaptive batching window: each arrival extends "
-             "the window by --batch-wait-ms (so a burst coalesces into one "
-             "wide decode), but never past this cap",
+        "--batch-wait-max-ms", type=float, default=75.0,
+        help="hard cap on the adaptive batching window: each arrival (and "
+             "each accepted-but-still-parsing request) extends the window "
+             "by --batch-wait-ms so a burst coalesces into one wide decode, "
+             "but never past this cap",
     )
     ap.add_argument("--max-length", type=int, default=32)
     ap.add_argument(
@@ -298,7 +363,14 @@ def main():
         return
     print("warming up decode buckets...", file=sys.stderr)
     service.warmup()
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
+    class _Server(ThreadingHTTPServer):
+        # Default listen backlog is 5: a 16-way connect storm drops accepts
+        # (clients see ECONNRESET and pay a retry). 64 absorbs any burst the
+        # compiled buckets can ride. Must be a class attr — __init__ binds
+        # and listens with it.
+        request_queue_size = 64
+
+    server = _Server(("0.0.0.0", args.port), make_handler(service))
     print(f"serving on :{args.port} (buckets {service.buckets})", file=sys.stderr)
     try:
         server.serve_forever()

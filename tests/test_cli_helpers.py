@@ -223,3 +223,67 @@ class TestCaptionService:
         assert sum(burst_calls) >= 16
         assert len(burst_calls) <= 3, burst_calls
         svc.shutdown()
+
+    def test_announced_arrivals_hold_the_window(self):
+        """Arrival-aware batching: requests the HTTP layer has ACCEPTED but
+        not yet enqueued (payload still parsing — begin_arrival) keep the
+        window open past batch_wait_ms, so a burst whose payload decode
+        trickles over tens of ms still rides ONE wide decode. On the real
+        chip this was the difference between burst p95 ~415 ms (premature
+        1-4-wide decode + 16-wide decode) and one coalesced decode."""
+        import importlib.util
+        import threading
+        import time
+        from pathlib import Path
+
+        import numpy as np
+
+        from pgica_tpu.utils.config import Config
+
+        spec = importlib.util.spec_from_file_location(
+            "serve", Path(__file__).resolve().parents[1] / "scripts" / "serve.py"
+        )
+        serve = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(serve)
+
+        cfg = Config("configs/smoke.yaml")
+        # Tiny base window (2 ms) + big hard cap: only the announced
+        # arrivals can be holding the window open across the 60 ms trickle.
+        svc = serve.CaptionService(
+            cfg, max_batch=16, batch_wait_ms=2.0, batch_wait_max_ms=2000.0,
+            max_length=6,
+        )
+        calls = []
+        orig = svc.model.generate_captions
+
+        def counting(images, **kw):
+            calls.append(len(images))
+            return orig(images, **kw)
+
+        svc.model.generate_captions = counting
+        svc.warmup()
+        n_warm = len(calls)
+        size = svc.model.image_size
+        img = np.zeros((size, size, 3), np.uint8)
+        results = [None] * 16
+        # Announce every request up front (the HTTP handler does this on
+        # accept, before the body read), then trickle the actual submits in
+        # over ~60 ms — far past the 2 ms base window.
+        for _ in range(16):
+            svc.begin_arrival()
+
+        def call(i):
+            time.sleep(0.004 * i)
+            results[i] = svc.submit(img, timeout=180.0, arrived=True)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r is not None and isinstance(r["caption"], str) for r in results)
+        burst_calls = calls[n_warm:]
+        assert sum(burst_calls) >= 16
+        assert len(burst_calls) <= 2, burst_calls
+        assert svc._arriving == 0  # counter fully drained
+        svc.shutdown()
