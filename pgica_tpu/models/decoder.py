@@ -57,6 +57,10 @@ class CaptionDecoder(nn.Module):
     ring_axis: Optional[str] = None
     # Explicit ZeRO-3 axis (scan_layers only); see TransformerLM.fsdp_axis.
     fsdp_axis: Optional[str] = None
+    # Inference-only int8 LM-block matmuls (ops/quant.py). The cross-attention
+    # and vision projection stay at the compute dtype (single-token KV —
+    # negligible weight bytes in the decode loop).
+    quant: Optional[str] = None
 
     def setup(self):
         self.vision_projection = nn.Sequential(
@@ -78,7 +82,7 @@ class CaptionDecoder(nn.Module):
         self.lm = self.shared_lm or TransformerLM(
             self.config, with_lm_head=True, dtype=self.dtype,
             attn_impl=self.attn_impl, remat=self.remat, ring_axis=self.ring_axis,
-            fsdp_axis=self.fsdp_axis,
+            fsdp_axis=self.fsdp_axis, quant=self.quant,
         )
 
     def project_vision(self, vision_embeddings: jax.Array, deterministic: bool = True) -> jax.Array:

@@ -75,6 +75,9 @@ class MultiHeadAttention(nn.Module):
     # self-attention dispatches to ops/ring_attention (KV blocks rotate over
     # ICI). Decode (cache) and cross-attention paths are unaffected.
     ring_axis: Optional[str] = None
+    # Inference-only int8 projections ("int8" W8A8 / "int8_weight_only" W8);
+    # see ops/quant.py. Param tree changes (kernel -> kernel_q + scale).
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -101,10 +104,18 @@ class MultiHeadAttention(nn.Module):
         kv_src = x if kv is None else kv
         n_kv = self.num_kv_heads or self.num_heads
         head_dim = self.hidden_size // self.num_heads
-        dense = functools.partial(
-            nn.DenseGeneral, dtype=self.dtype, param_dtype=jnp.float32,
-            use_bias=self.use_bias,
-        )
+        if self.quant:
+            from pgica_tpu.ops.quant import QuantDenseGeneral
+
+            dense = functools.partial(
+                QuantDenseGeneral, dtype=self.dtype, use_bias=self.use_bias,
+                weight_only=self.quant == "int8_weight_only",
+            )
+        else:
+            dense = functools.partial(
+                nn.DenseGeneral, dtype=self.dtype, param_dtype=jnp.float32,
+                use_bias=self.use_bias,
+            )
         q = dense(features=(self.num_heads, head_dim), name="q_proj")(x)
         k = dense(features=(n_kv, head_dim), name="k_proj")(kv_src)
         v = dense(features=(n_kv, head_dim), name="v_proj")(kv_src)
@@ -153,10 +164,19 @@ class MultiHeadAttention(nn.Module):
         else:
             out = dot_product_attention(q, k, v, mask=mask, causal=causal, impl=self.attn_impl)
         out = out.transpose(0, 2, 1, 3)  # (B, Sq, H, D)
-        out = nn.DenseGeneral(
-            features=self.hidden_size, axis=(-2, -1), dtype=self.dtype,
-            param_dtype=jnp.float32, use_bias=self.use_bias, name="out_proj",
-        )(out)
+        if self.quant:
+            from pgica_tpu.ops.quant import QuantDenseGeneral
+
+            out = QuantDenseGeneral(
+                features=self.hidden_size, axis=(-2, -1), dtype=self.dtype,
+                use_bias=self.use_bias, name="out_proj",
+                weight_only=self.quant == "int8_weight_only",
+            )(out)
+        else:
+            out = nn.DenseGeneral(
+                features=self.hidden_size, axis=(-2, -1), dtype=self.dtype,
+                param_dtype=jnp.float32, use_bias=self.use_bias, name="out_proj",
+            )(out)
         if self.dropout > 0.0:
             out = FastDropout(self.dropout)(out, deterministic=deterministic)
         return out, new_cache
@@ -169,12 +189,21 @@ class MLP(nn.Module):
     dropout: float = 0.0
     use_bias: bool = True
     dtype: Any = jnp.float32
+    quant: Optional[str] = None  # inference-only int8 (see ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        dense = functools.partial(
-            nn.Dense, dtype=self.dtype, param_dtype=jnp.float32, use_bias=self.use_bias
-        )
+        if self.quant:
+            from pgica_tpu.ops.quant import QuantDenseGeneral
+
+            dense = functools.partial(
+                QuantDenseGeneral, dtype=self.dtype, use_bias=self.use_bias,
+                weight_only=self.quant == "int8_weight_only",
+            )
+        else:
+            dense = functools.partial(
+                nn.Dense, dtype=self.dtype, param_dtype=jnp.float32, use_bias=self.use_bias
+            )
         if self.kind == "swiglu":
             gate = dense(self.intermediate_size, name="gate_proj")(x)
             up = dense(self.intermediate_size, name="up_proj")(x)
@@ -210,6 +239,7 @@ class TransformerBlock(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     ring_axis: Optional[str] = None
+    quant: Optional[str] = None  # inference-only int8 (see ops/quant.py)
 
     @nn.compact
     def __call__(
@@ -233,6 +263,7 @@ class TransformerBlock(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             ring_axis=self.ring_axis,
+            quant=self.quant,
             name="attn",
         )(h, mask=mask, cache=cache, position=position, deterministic=deterministic)
         x = x + attn_out
@@ -245,6 +276,7 @@ class TransformerBlock(nn.Module):
             dropout=self.dropout,
             use_bias=self.use_bias,
             dtype=self.dtype,
+            quant=self.quant,
             name="mlp",
         )(h, deterministic=deterministic)
         return x, new_cache

@@ -58,9 +58,15 @@ class TransformerLM(nn.Module):
     # re-gathers on backward, and the gather's transpose reduce-scatters the
     # grads. See parallel/zero3.py.
     fsdp_axis: Optional[str] = None
+    # Inference-only int8 block matmuls ("int8" W8A8 / "int8_weight_only");
+    # see ops/quant.py. Embeddings and the weight-tied LM head stay at the
+    # compute dtype. Incompatible with training-time transforms.
+    quant: Optional[str] = None
 
     def setup(self):
         cfg = self.config
+        if self.quant and (self.fsdp_axis or self.ring_axis or self.remat):
+            raise ValueError("quant is an inference-only transform (no fsdp/ring/remat)")
         self.wte = nn.Embed(
             cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, param_dtype=jnp.float32,
             embedding_init=nn.initializers.normal(0.02), name="wte",
@@ -104,6 +110,7 @@ class TransformerLM(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             ring_axis=self.ring_axis,
+            quant=self.quant,
         )
         if cfg.scan_layers:
             # One block body scanned num_layers times over stacked params

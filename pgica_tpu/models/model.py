@@ -63,6 +63,10 @@ class PreferenceGuidedCaptioningModule(nn.Module):
     # inside parallel/zero3.py's shard_map step). The vision tower's unrolled
     # blocks stay replicated — it is frozen and ~2% of the 8B-scale budget.
     fsdp_axis: Optional[str] = None
+    # Inference-only int8 decoder-LM matmuls for the decode/serving path
+    # ("int8" W8A8 / "int8_weight_only"); see ops/quant.py. Only used by the
+    # quantized twin module the runtime wrapper builds — never for training.
+    decoder_quant: Optional[str] = None
 
     def setup(self):
         self.vision_encoder = VisionEncoder(
@@ -93,11 +97,15 @@ class PreferenceGuidedCaptioningModule(nn.Module):
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
             shared_backbone=shared_lm, fsdp_axis=self.fsdp_axis,
         )
+        if self.decoder_quant and shared_lm is not None:
+            raise ValueError("decoder_quant with share_text_tower would quantize "
+                             "the training text tower; use a dedicated decoder")
         self.caption_decoder = CaptionDecoder(
             self.decoder_config, self.projection_dim, dropout=self.dropout,
-            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+            dtype=self.dtype, attn_impl=self.attn_impl,
+            remat=False if self.decoder_quant else self.remat,
             shared_lm=shared_lm, ring_axis=self.ring_axis,
-            fsdp_axis=self.fsdp_axis,
+            fsdp_axis=self.fsdp_axis, quant=self.decoder_quant,
         )
 
     # -- encoders -----------------------------------------------------------------
@@ -188,6 +196,7 @@ def build_module(
     attn_impl: str = "auto",
     remat: bool = False,
     scan_layers: bool = False,
+    decoder_quant: Optional[str] = None,
 ) -> PreferenceGuidedCaptioningModule:
     """Resolve presets and construct the composed module.
 
@@ -218,6 +227,7 @@ def build_module(
         dtype=dtype,
         attn_impl=attn_impl,
         remat=remat,
+        decoder_quant=decoder_quant,
     )
 
 
@@ -244,6 +254,7 @@ class PreferenceGuidedCaptioningModel:
         lora_config: Optional[Dict[str, Any]] = None,
         vocab_size: Optional[int] = None,
         scan_layers: bool = False,
+        quantization: Optional[str] = None,
     ):
         self.tokenizer = tokenizer or CaptionTokenizer.from_pretrained(text_model)
         self.vision_model_name = vision_model
@@ -253,7 +264,7 @@ class PreferenceGuidedCaptioningModel:
         self.freeze_vision_backbone = freeze_vision_backbone
         self.freeze_text_backbone = freeze_text_backbone
         self.max_caption_length = max_caption_length
-        self.module = build_module(
+        self._build_kwargs = dict(
             vision_model=vision_model,
             text_model=text_model,
             projection_dim=projection_dim,
@@ -272,6 +283,15 @@ class PreferenceGuidedCaptioningModel:
             remat=remat,
             scan_layers=scan_layers,
         )
+        self.module = build_module(**self._build_kwargs)
+        # Decode-time int8 quantization ("int8" W8A8 / "int8_weight_only"):
+        # decode runs through a twin module whose decoder-LM matmuls are int8
+        # (ops/quant.py); training/encode paths keep the full-precision module.
+        from pgica_tpu.ops.quant import INT8_MODES
+
+        if quantization and quantization not in INT8_MODES:
+            raise ValueError(f"quantization must be one of {INT8_MODES}, got {quantization!r}")
+        self.quantization = quantization
         self.image_size = image_size or self.module.vision_config.image_size
         from pgica_tpu.core import prng
 
@@ -366,6 +386,32 @@ class PreferenceGuidedCaptioningModel:
         self._inference_params_cache = (self.params, cast)
         return cast
 
+    def _decode_module_and_params(self):
+        """(module, params) for autoregressive decode.
+
+        With ``quantization`` set this is the int8 twin module plus a
+        quantized param tree (built once per params object from the f32
+        masters and cached); otherwise the plain module + compute-dtype cast.
+        """
+        if not self.quantization:
+            return self.module, self._inference_params()
+        cached = getattr(self, "_quant_cache", None)
+        if cached is not None and cached[0] is self.params:
+            return cached[1], cached[2]
+        from pgica_tpu.ops.quant import quantize_like
+
+        twin = build_module(**{**self._build_kwargs, "decoder_quant": self.quantization})
+        images = jnp.zeros((1, self.image_size, self.image_size, 3), jnp.float32)
+        ids = jnp.zeros((1, self.max_caption_length), jnp.int32)
+        template = jax.eval_shape(
+            lambda: twin.init(jax.random.PRNGKey(0), images, ids, jnp.ones_like(ids), mode="dual")
+        )["params"]
+        cast_rest = None if self.module.dtype == jnp.float32 else self.module.dtype
+        qparams = quantize_like(template, self.params, cast_rest=cast_rest)
+        logger.info("Quantized decoder params (%s) for decode", self.quantization)
+        self._quant_cache = (self.params, twin, qparams)
+        return twin, qparams
+
     def generate_captions(
         self,
         images,
@@ -386,6 +432,7 @@ class PreferenceGuidedCaptioningModel:
         from pgica_tpu.generation.decode import generate
 
         params = self._inference_params()
+        decode_module, decode_params = self._decode_module_and_params()
         images = jnp.asarray(images)
         t0 = time.perf_counter()
         # No sync between encode and decode: both dispatches chain on device
@@ -396,8 +443,8 @@ class PreferenceGuidedCaptioningModel:
 
         t0 = time.perf_counter()
         token_ids = generate(
-            self.module,
-            params,
+            decode_module,
+            decode_params,
             vision["embeddings"],
             bos_token_id=self.tokenizer.bos_token_id,
             eos_token_id=self.tokenizer.eos_token_id,

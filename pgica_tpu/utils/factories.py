@@ -160,6 +160,9 @@ def create_model(config, tokenizer=None, seed: Optional[int] = None):
         # stacked-block lax.scan layout; with mesh.fsdp > 1 this is ZeRO-3
         # (per-layer weight gathers inside the scan body; see LMConfig)
         scan_layers=bool(config.get("model.scan_layers", False)),
+        # decode-time int8 ("int8" W8A8 | "int8_weight_only"); training
+        # precision is unaffected (ops/quant.py — inference-only transform)
+        quantization=config.get("inference.quantization") or None,
     )
 
 

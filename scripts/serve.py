@@ -331,6 +331,12 @@ def main():
     )
     ap.add_argument("--platform", default=None, help="force a jax backend, e.g. cpu")
     ap.add_argument(
+        "--quant", default=None, choices=["int8", "int8_weight_only"],
+        help="decode-time int8 quantization of the decoder LM (ops/quant.py): "
+             "halves decode weight HBM traffic; 'int8' also runs the matmuls "
+             "int8 x int8 on the MXU",
+    )
+    ap.add_argument(
         "--prejit", action="store_true",
         help="compile every decode bucket into the persistent XLA cache, "
              "print timings, and exit (run once before cold serving starts)",
@@ -350,6 +356,8 @@ def main():
     config = Config(args.config)
     from pgica_tpu.utils.factories import apply_hardware_rng
     apply_hardware_rng(config)
+    if args.quant:
+        config.set("inference.quantization", args.quant)
     service = CaptionService(
         config, model_path=args.model_path, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, max_length=args.max_length,
