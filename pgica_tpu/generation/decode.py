@@ -52,6 +52,7 @@ def _top_p_filter(logits: jax.Array, top_p) -> jax.Array:
     jax.jit,
     static_argnames=(
         "module", "max_length", "do_sample", "eos_token_id", "pad_token_id",
+        "early_stop",
     ),
 )
 def _greedy_or_sample(
@@ -67,6 +68,7 @@ def _greedy_or_sample(
     do_sample: bool,
     eos_token_id: int,
     pad_token_id: int,
+    early_stop: bool = False,
 ):
     # temperature/top_p/repetition_penalty are TRACED so sweeping sampling
     # settings does not recompile the decode graph (only shape-affecting
@@ -113,6 +115,33 @@ def _greedy_or_sample(
         new_finished = finished | (nxt == eos_token_id)
         presence = presence.at[jnp.arange(batch), nxt].set(1)
         return (nxt, presence, new_finished, caches, rng), nxt
+
+    if early_stop:
+        # while_loop variant: stops as soon as EVERY sequence has emitted EOS.
+        # Token-identical to the scan path — steps past all-finished would
+        # only ever write pads (see `step`), and the per-step rng splits
+        # happen in the same order, so skipping them changes nothing.
+        # Serving win: real captions run ~10-25 tokens vs max_length 32-128,
+        # so the decode loop executes a fraction of its static bound.
+        seqs0 = jnp.full((batch, max_length), pad_token_id, jnp.int32)
+        seqs0 = seqs0.at[:, 0].set(tok0)
+
+        def cond(carry):
+            t = carry[0]
+            finished = carry[4]
+            return (t < max_length) & ~jnp.all(finished)
+
+        def body(carry):
+            t, seqs, tokens, presence, finished, caches, rng = carry
+            (nxt, presence, finished, caches, rng), _ = step(
+                (tokens, presence, finished, caches, rng), t
+            )
+            seqs = jax.lax.dynamic_update_slice_in_dim(seqs, nxt[:, None], t, axis=1)
+            return (t + 1, seqs, nxt, presence, finished, caches, rng)
+
+        carry = (jnp.asarray(1, jnp.int32), seqs0, tok0, presence0, finished0, caches, rng)
+        carry = jax.lax.while_loop(cond, body, carry)
+        return carry[1]
 
     (_, _, _, _, _), rest = jax.lax.scan(
         step,
@@ -277,11 +306,17 @@ def generate(
     repetition_penalty: float = 1.0,
     length_penalty: float = 1.0,
     rng: Optional[jax.Array] = None,
+    early_stop: bool = False,
 ) -> jax.Array:
     """Decode captions from vision embeddings. Returns (B, max_length) int32.
 
     ``num_beams > 1`` uses beam search (sampling flags ignored, as in HF when
     beams dominate); otherwise greedy or top-p sampling per ``do_sample``.
+
+    ``early_stop=True`` (greedy/sampling only) swaps the fixed-length scan for
+    a ``lax.while_loop`` that exits once every sequence has emitted EOS —
+    token-identical output, data-dependent latency. Use for serving real
+    traffic; benchmarks keep the fixed-length scan for run-to-run comparability.
 
     ``bos_token_id`` is accepted for API symmetry but unused: like the
     reference's HF ``generate(inputs_embeds=...)`` path (model.py:611-617),
@@ -314,4 +349,5 @@ def generate(
         do_sample=do_sample,
         eos_token_id=eos_token_id,
         pad_token_id=pad_token_id,
+        early_stop=early_stop,
     )

@@ -423,11 +423,14 @@ class PreferenceGuidedCaptioningModel:
         repetition_penalty: float = 1.0,
         length_penalty: float = 1.0,
         seed: int = 0,
+        early_stop: bool = False,
     ) -> List[str]:
         """Encode images, autoregressively decode, detokenize.
 
         Mirrors the reference surface and its phase-timing logs
-        (reference model.py:855-923).
+        (reference model.py:855-923). ``early_stop=True`` ends the greedy/
+        sampling decode loop once every caption in the batch hit EOS
+        (token-identical, data-dependent latency — the serving default).
         """
         from pgica_tpu.generation.decode import generate
 
@@ -457,6 +460,7 @@ class PreferenceGuidedCaptioningModel:
             repetition_penalty=repetition_penalty,
             length_penalty=length_penalty,
             rng=_sampling_key(seed),
+            early_stop=early_stop,
         )
         token_ids = np.asarray(token_ids)
         t_generate = time.perf_counter() - t0

@@ -40,7 +40,8 @@ class CaptionService:
     """Owns the model and the batching loop."""
 
     def __init__(self, config, model_path=None, max_batch: int = 32, batch_wait_ms: float = 5.0,
-                 max_length: int = 32, workers: int = 2, batch_wait_max_ms: float = 75.0):
+                 max_length: int = 32, workers: int = 2, batch_wait_max_ms: float = 75.0,
+                 early_stop: bool = True):
         from pgica_tpu.utils.factories import create_model, create_processors, create_tokenizer
 
         tokenizer = create_tokenizer(config)
@@ -62,6 +63,11 @@ class CaptionService:
         self.batch_wait_s = float(batch_wait_ms) / 1000.0
         self.batch_wait_max_s = max(float(batch_wait_max_ms) / 1000.0, self.batch_wait_s)
         self.max_length = int(max_length)
+        # Early-exit decode: the while_loop decode stops once every caption in
+        # the bucket hit EOS — token-identical to the fixed scan, and real
+        # captions (~10-25 tokens) finish far below max_length, so the served
+        # latency tracks actual caption length instead of the static bound.
+        self.early_stop = bool(early_stop)
         self.buckets = [b for b in (1, 2, 4, 8, 16, 32, 64) if b <= self.max_batch]
         self._queue: "queue.Queue" = queue.Queue()
         self._latencies = []
@@ -105,7 +111,8 @@ class CaptionService:
         for b in self.buckets:
             t0 = time.perf_counter()
             self.model.generate_captions(
-                np.zeros((b, size, size, 3), np.uint8), max_length=self.max_length
+                np.zeros((b, size, size, 3), np.uint8), max_length=self.max_length,
+                early_stop=self.early_stop,
             )
             timings.append((b, time.perf_counter() - t0))
         if start_worker:
@@ -242,7 +249,8 @@ class CaptionService:
                     images = np.zeros((bucket, size, size, 3), np.uint8)
                     for i, slot in enumerate(batch):
                         images[i] = slot["image"]
-                    captions = self.model.generate_captions(images, max_length=self.max_length)
+                    captions = self.model.generate_captions(
+                        images, max_length=self.max_length, early_stop=self.early_stop)
                 except Exception as e:
                     captions = [f"<error: {type(e).__name__}>"] * bucket
             finally:
@@ -337,6 +345,11 @@ def main():
              "int8 x int8 on the MXU",
     )
     ap.add_argument(
+        "--no-early-stop", action="store_true",
+        help="keep the fixed-length decode scan instead of the EOS early-exit "
+             "while_loop (deterministic per-bucket latency, e.g. for probes)",
+    )
+    ap.add_argument(
         "--prejit", action="store_true",
         help="compile every decode bucket into the persistent XLA cache, "
              "print timings, and exit (run once before cold serving starts)",
@@ -362,6 +375,7 @@ def main():
         config, model_path=args.model_path, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, max_length=args.max_length,
         workers=args.workers, batch_wait_max_ms=args.batch_wait_max_ms,
+        early_stop=not args.no_early_stop,
     )
     if args.prejit:
         print("prejit: compiling decode buckets into the persistent cache...", file=sys.stderr)

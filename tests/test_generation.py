@@ -160,3 +160,43 @@ class TestBeamGreedyConsistency:
             )
         )
         np.testing.assert_array_equal(greedy, beam_forced)
+
+
+class TestEarlyStop:
+    """early_stop=True (lax.while_loop) must be token-identical to the scan."""
+
+    def test_greedy_parity(self, model, vision_emb):
+        a = _gen(model, vision_emb)
+        b = _gen(model, vision_emb, early_stop=True)
+        np.testing.assert_array_equal(a, b)
+
+    def test_sampling_parity(self, model, vision_emb):
+        kw = dict(do_sample=True, temperature=0.9, top_p=0.8)
+        a = _gen(model, vision_emb, rng=jax.random.PRNGKey(3), **kw)
+        b = _gen(model, vision_emb, rng=jax.random.PRNGKey(3), early_stop=True, **kw)
+        np.testing.assert_array_equal(a, b)
+
+    def test_early_exit_fires_and_matches(self, model, vision_emb):
+        # Force every sequence to finish at step 0 by declaring the greedy
+        # first token to BE the EOS id: the while_loop exits immediately and
+        # must still produce the same [eos, pad, pad, ...] row as the scan.
+        tok = model.tokenizer
+        emb = vision_emb[:1]
+        first = int(_gen(model, emb)[0, 0])
+        rows = []
+        for early in (False, True):
+            rows.append(np.asarray(generate(
+                model.module, model.params, emb,
+                bos_token_id=tok.bos_token_id, eos_token_id=first,
+                pad_token_id=tok.pad_token_id, max_length=8, early_stop=early,
+            )))
+        np.testing.assert_array_equal(rows[0], rows[1])
+        assert rows[1][0, 0] == first
+        np.testing.assert_array_equal(rows[1][0, 1:], tok.pad_token_id)
+
+    def test_generate_captions_early_stop(self, model):
+        rng = np.random.default_rng(2)
+        images = rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32)
+        a = model.generate_captions(images, max_length=8)
+        b = model.generate_captions(images, max_length=8, early_stop=True)
+        assert a == b
