@@ -70,6 +70,10 @@ class EvaluationRunner:
                 top_p=float(gen_cfg.get("top_p", 0.9)),
                 repetition_penalty=float(gen_cfg.get("repetition_penalty", 1.1)),
                 length_penalty=float(gen_cfg.get("length_penalty", 1.0)),
+                # EOS early-exit while_loop (greedy/sampling only; the beam
+                # path keeps its fixed scan). Off by default so benchmark
+                # latencies stay run-to-run comparable unless asked for.
+                early_stop=bool(gen_cfg.get("early_stop", False)),
             )
             dt_ms = (time.perf_counter() - t0) * 1000.0
             # ONE latency sample per generate_captions call (the request unit):

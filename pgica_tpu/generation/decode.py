@@ -326,6 +326,14 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     if num_beams > 1:
+        if early_stop:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "early_stop is greedy/sampling-only; beam search keeps the "
+                "fixed-length scan (length-penalty finalize makes a sound "
+                "early-exit bound invalid in general)"
+            )
         return _beam_search(
             module,
             params,

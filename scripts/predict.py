@@ -51,6 +51,7 @@ class CaptionPredictor:
             top_p=float(gen.get("top_p", 0.9)),
             repetition_penalty=float(gen.get("repetition_penalty", 1.1)),
             length_penalty=float(gen.get("length_penalty", 1.0)),
+            early_stop=bool(gen.get("early_stop", False)),
         )
 
     def predict_single(self, image_path) -> dict:
