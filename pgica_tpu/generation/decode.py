@@ -156,7 +156,7 @@ def _greedy_or_sample(
     jax.jit,
     static_argnames=(
         "module", "max_length", "num_beams", "length_penalty",
-        "eos_token_id", "pad_token_id",
+        "eos_token_id", "pad_token_id", "early_stop",
     ),
 )
 def _beam_search(
@@ -170,6 +170,7 @@ def _beam_search(
     length_penalty: float,
     eos_token_id: int,
     pad_token_id: int,
+    early_stop: bool = False,
 ):
     batch = vision_embeddings.shape[0]
     k = num_beams
@@ -272,9 +273,36 @@ def _beam_search(
         return (live_seqs2, live_scores2, live_finished2, presence2, fin_seqs2, fin_scores2, caches2), None
 
     carry = (live_seqs, live_scores, live_finished, presence, fin_seqs, fin_scores, caches)
-    (live_seqs, live_scores, live_finished, presence, fin_seqs, fin_scores, _), _ = jax.lax.scan(
-        step, carry, jnp.arange(1, max_length)
-    )
+    if early_stop and length_penalty >= 0:
+        # Sound early exit. Log-probs are <= 0, so a live beam's score only
+        # decreases; with lp >= 0 its best achievable normalized score —
+        # whether it survives to the live-finalize (norm by max_length) or
+        # finishes into the pool later (norm by a length <= max_length,
+        # which for negative scores is never better) — is bounded by
+        # score_t / max_length**lp. Once every batch row's best finished
+        # hypothesis meets that bound, no remaining step can change the
+        # final argmax, and the loop exits. Result-identical to the fixed
+        # scan (modulo exact score ties, where the finalize already prefers
+        # the finished pool).
+        denom = float(max_length) ** float(length_penalty)
+
+        def cond(wcarry):
+            t = wcarry[0]
+            _, _, live_scores, _, _, _, fin_scores, _ = wcarry
+            bound = jnp.max(live_scores, axis=1) / denom
+            return (t < max_length) & ~jnp.all(fin_scores[:, 0] >= bound)
+
+        def body(wcarry):
+            t = wcarry[0]
+            inner, _ = step(wcarry[1:], t)
+            return (t + 1,) + inner
+
+        out = jax.lax.while_loop(cond, body, (jnp.asarray(1, jnp.int32),) + carry)
+        live_seqs, live_scores, live_finished, presence, fin_seqs, fin_scores, _ = out[1:]
+    else:
+        (live_seqs, live_scores, live_finished, presence, fin_seqs, fin_scores, _), _ = jax.lax.scan(
+            step, carry, jnp.arange(1, max_length)
+        )
 
     # Final selection compares the best finished hypothesis against the best
     # live beam on length-penalty-normalized scores (HF finalize semantics:
@@ -313,10 +341,13 @@ def generate(
     ``num_beams > 1`` uses beam search (sampling flags ignored, as in HF when
     beams dominate); otherwise greedy or top-p sampling per ``do_sample``.
 
-    ``early_stop=True`` (greedy/sampling only) swaps the fixed-length scan for
-    a ``lax.while_loop`` that exits once every sequence has emitted EOS —
-    token-identical output, data-dependent latency. Use for serving real
-    traffic; benchmarks keep the fixed-length scan for run-to-run comparability.
+    ``early_stop=True`` swaps the fixed-length scan for a ``lax.while_loop``:
+    greedy/sampling exits once every sequence emitted EOS (token-identical);
+    beam search exits once every row's best finished hypothesis provably beats
+    any live beam's best achievable normalized score (result-identical for
+    ``length_penalty >= 0``; negative penalties keep the fixed scan). Use for
+    serving real traffic; benchmarks keep the fixed-length scan for
+    run-to-run comparability.
 
     ``bos_token_id`` is accepted for API symmetry but unused: like the
     reference's HF ``generate(inputs_embeds=...)`` path (model.py:611-617),
@@ -326,14 +357,6 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     if num_beams > 1:
-        if early_stop:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "early_stop is greedy/sampling-only; beam search keeps the "
-                "fixed-length scan (length-penalty finalize makes a sound "
-                "early-exit bound invalid in general)"
-            )
         return _beam_search(
             module,
             params,
@@ -344,6 +367,7 @@ def generate(
             length_penalty=length_penalty,
             eos_token_id=eos_token_id,
             pad_token_id=pad_token_id,
+            early_stop=early_stop,
         )
     return _greedy_or_sample(
         module,

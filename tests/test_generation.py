@@ -200,3 +200,41 @@ class TestEarlyStop:
         a = model.generate_captions(images, max_length=8)
         b = model.generate_captions(images, max_length=8, early_stop=True)
         assert a == b
+
+
+class TestBeamEarlyStop:
+    """Beam early_stop must be result-identical to the fixed scan."""
+
+    def test_beam_parity(self, model, vision_emb):
+        a = _gen(model, vision_emb, num_beams=3)
+        b = _gen(model, vision_emb, num_beams=3, early_stop=True)
+        np.testing.assert_array_equal(a, b)
+
+    def test_beam_parity_length_penalty(self, model, vision_emb):
+        kw = dict(num_beams=3, length_penalty=2.0, repetition_penalty=1.2)
+        a = _gen(model, vision_emb, **kw)
+        b = _gen(model, vision_emb, early_stop=True, **kw)
+        np.testing.assert_array_equal(a, b)
+
+    def test_beam_negative_penalty_falls_back(self, model, vision_emb):
+        # lp < 0 makes the exit bound unsound; early_stop must be a no-op.
+        kw = dict(num_beams=3, length_penalty=-0.5)
+        a = _gen(model, vision_emb, **kw)
+        b = _gen(model, vision_emb, early_stop=True, **kw)
+        np.testing.assert_array_equal(a, b)
+
+    def test_beam_forced_finish_parity(self, model, vision_emb):
+        # eos == the most likely first token: the top beam finishes at step 0
+        # and dominates; the exit should fire early and still match the scan.
+        tok = model.tokenizer
+        emb = vision_emb[:1]
+        first = int(_gen(model, emb)[0, 0])
+        rows = []
+        for early in (False, True):
+            rows.append(np.asarray(generate(
+                model.module, model.params, emb,
+                bos_token_id=tok.bos_token_id, eos_token_id=first,
+                pad_token_id=tok.pad_token_id, max_length=8, num_beams=3,
+                early_stop=early,
+            )))
+        np.testing.assert_array_equal(rows[0], rows[1])
