@@ -167,7 +167,13 @@ class CaptionDecoder(nn.Module):
             vision_token = self.project_vision(vision_embeddings, deterministic=True)
             embeds = self.fuse(embeds, vision_token, deterministic=True)
         if self.config.arch == "gpt2":
-            embeds = embeds + self.lm.wpe(jnp.atleast_1d(position))[None]
+            pos_arr = jnp.atleast_1d(jnp.asarray(position))
+            pe = self.lm.wpe(pos_arr)
+            if pos_arr.shape[0] == embeds.shape[0] and embeds.shape[0] > 1:
+                # per-row positions (continuous-batching decode, Sq == 1)
+                embeds = embeds + pe[:, None, :]
+            else:
+                embeds = embeds + pe[None]
         out = self.lm(
             inputs_embeds=embeds,
             attention_mask=attention_mask,

@@ -141,8 +141,19 @@ class MultiHeadAttention(nn.Module):
         if cache is not None:
             k_cache, v_cache = cache
             pos = position if position is not None else 0
-            k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, 0, pos, 0))
-            v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, 0, pos, 0))
+            pos_arr = jnp.asarray(pos)
+            if pos_arr.ndim == 0:
+                k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, 0, pos, 0))
+                v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, 0, pos, 0))
+            else:
+                # Per-row write positions (continuous-batching decode: each
+                # slot sits at its own timestep; Sq == 1). A one-hot select is
+                # O(cache) elementwise traffic — the same order as the
+                # attention read over the cache each step — and avoids TPU
+                # scatter. Rows whose position is out of range write nothing.
+                hit = (jnp.arange(k_cache.shape[2])[None, :] == pos_arr[:, None])[:, None, :, None]
+                k_cache = jnp.where(hit, k.astype(k_cache.dtype), k_cache)
+                v_cache = jnp.where(hit, v.astype(v_cache.dtype), v_cache)
             k, v = k_cache, v_cache
             new_cache = (k_cache, v_cache)
 

@@ -36,29 +36,35 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
+def _load_serving_model(config, model_path=None):
+    """(image_processor, model) with uint8 wire format and optional checkpoint."""
+    from pgica_tpu.utils.factories import create_model, create_processors, create_tokenizer
+
+    tokenizer = create_tokenizer(config)
+    image_processor, _ = create_processors(config, tokenizer)
+    # Serving wire format is uint8: hosts decode+resize only, the model
+    # normalizes on device (augment.prepare_images) — 4x less
+    # host->device transfer per request (measured +25% captions/s).
+    image_processor.device_side_normalization = True
+    model = create_model(config, tokenizer)
+    if model_path:
+        import jax
+        import jax.numpy as jnp
+
+        from pgica_tpu.training.checkpoint import CheckpointManager, effective_params
+
+        payload = CheckpointManager(Path(model_path).parent).restore(model_path)
+        model.params = jax.tree.map(jnp.asarray, effective_params(payload))
+    return image_processor, model
+
+
 class CaptionService:
     """Owns the model and the batching loop."""
 
     def __init__(self, config, model_path=None, max_batch: int = 32, batch_wait_ms: float = 5.0,
                  max_length: int = 32, workers: int = 2, batch_wait_max_ms: float = 75.0,
                  early_stop: bool = True):
-        from pgica_tpu.utils.factories import create_model, create_processors, create_tokenizer
-
-        tokenizer = create_tokenizer(config)
-        self.image_processor, _ = create_processors(config, tokenizer)
-        # Serving wire format is uint8: hosts decode+resize only, the model
-        # normalizes on device (augment.prepare_images) — 4x less
-        # host->device transfer per request (measured +25% captions/s).
-        self.image_processor.device_side_normalization = True
-        self.model = create_model(config, tokenizer)
-        if model_path:
-            import jax
-            import jax.numpy as jnp
-
-            from pgica_tpu.training.checkpoint import CheckpointManager, effective_params
-
-            payload = CheckpointManager(Path(model_path).parent).restore(model_path)
-            self.model.params = jax.tree.map(jnp.asarray, effective_params(payload))
+        self.image_processor, self.model = _load_serving_model(config, model_path)
         self.max_batch = int(max_batch)
         self.batch_wait_s = float(batch_wait_ms) / 1000.0
         self.batch_wait_max_s = max(float(batch_wait_max_ms) / 1000.0, self.batch_wait_s)
@@ -260,6 +266,80 @@ class CaptionService:
                 slot["event"].set()
 
 
+class ContinuousCaptionService:
+    """Iteration-level continuous batching (``--scheduler continuous``).
+
+    Requests join the decode between chunks of steps instead of between whole
+    decodes: a request that arrives while captions are in flight waits at most
+    one chunk (~chunk x 2.7 ms/step on the profiled chip) plus its own decode,
+    instead of the remainder of a full max_length decode. Engine details:
+    pgica_tpu/generation/engine.py. Public surface matches CaptionService.
+    """
+
+    def __init__(self, config, model_path=None, slots: int = 16, chunk: int = 8,
+                 max_length: int = 32, **_ignored):
+        from pgica_tpu.generation.engine import ContinuousDecodeEngine
+
+        self.image_processor, self.model = _load_serving_model(config, model_path)
+        self.engine = ContinuousDecodeEngine(
+            self.model, slots=slots, chunk=chunk, max_length=max_length,
+        )
+        self.buckets = self.engine.buckets
+        self._latencies = []
+        self._served = 0
+        self._arriving = 0
+        self._lock = threading.Lock()
+
+    def warmup(self, start_worker: bool = True) -> list:
+        timings = self.engine.warmup()
+        if start_worker:
+            self.engine.start()
+        return timings
+
+    def shutdown(self):
+        self.engine.stop()
+
+    def begin_arrival(self):
+        with self._lock:
+            self._arriving += 1
+
+    def abort_arrival(self):
+        with self._lock:
+            self._arriving = max(0, self._arriving - 1)
+
+    def submit(self, image: np.ndarray, timeout: float = 30.0, arrived: bool = False) -> dict:
+        try:
+            image = np.asarray(image)
+            if image.dtype != np.uint8:
+                if np.issubdtype(image.dtype, np.floating) and image.size and 0.0 < image.max() <= 1.0:
+                    raise ValueError(
+                        "submit() expects uint8 images in [0, 255] (got normalized "
+                        f"float with max {float(image.max()):.3f}); multiply by 255 first"
+                    )
+                image = np.clip(image, 0, 255).astype(np.uint8)
+        finally:
+            if arrived:
+                self.abort_arrival()
+        out = self.engine.submit(image, timeout=timeout)
+        with self._lock:
+            self._latencies.append(out["latency_ms"])
+            self._latencies = self._latencies[-1000:]
+            self._served += 1
+        return out
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = list(self._latencies)
+            served = self._served
+            arriving = self._arriving
+        out = {"status": "ok", "served": served, "arriving": arriving,
+               "scheduler": "continuous"}
+        if lat:
+            out["p50_ms"] = round(float(np.percentile(lat, 50)), 2)
+            out["p95_ms"] = round(float(np.percentile(lat, 95)), 2)
+        return out
+
+
 def make_handler(service: CaptionService):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
@@ -333,6 +413,23 @@ def main():
     )
     ap.add_argument("--max-length", type=int, default=32)
     ap.add_argument(
+        "--scheduler", default="batch", choices=["batch", "continuous"],
+        help="'batch': coalesce requests into whole decodes (admission only "
+             "between decodes); 'continuous': iteration-level continuous "
+             "batching over a fixed slot pool — requests join between decode "
+             "STEP chunks (generation/engine.py), so a straggler waits one "
+             "chunk instead of a full in-flight decode",
+    )
+    ap.add_argument(
+        "--slots", type=int, default=16,
+        help="continuous scheduler: decode slot-pool width (one compiled graph)",
+    )
+    ap.add_argument(
+        "--chunk", type=int, default=8,
+        help="continuous scheduler: decode steps per jitted chunk (admission "
+             "granularity)",
+    )
+    ap.add_argument(
         "--workers", type=int, default=2,
         help="batching loop threads; 2 pipelines host prep of batch B under "
              "batch A's device decode",
@@ -371,12 +468,18 @@ def main():
     apply_hardware_rng(config)
     if args.quant:
         config.set("inference.quantization", args.quant)
-    service = CaptionService(
-        config, model_path=args.model_path, max_batch=args.max_batch,
-        batch_wait_ms=args.batch_wait_ms, max_length=args.max_length,
-        workers=args.workers, batch_wait_max_ms=args.batch_wait_max_ms,
-        early_stop=not args.no_early_stop,
-    )
+    if args.scheduler == "continuous":
+        service = ContinuousCaptionService(
+            config, model_path=args.model_path, slots=args.slots,
+            chunk=args.chunk, max_length=args.max_length,
+        )
+    else:
+        service = CaptionService(
+            config, model_path=args.model_path, max_batch=args.max_batch,
+            batch_wait_ms=args.batch_wait_ms, max_length=args.max_length,
+            workers=args.workers, batch_wait_max_ms=args.batch_wait_max_ms,
+            early_stop=not args.no_early_stop,
+        )
     if args.prejit:
         print("prejit: compiling decode buckets into the persistent cache...", file=sys.stderr)
         for b, secs in service.warmup(start_worker=False):
