@@ -213,7 +213,8 @@ class ContinuousDecodeEngine:
         repetition_penalty: float = 1.0,
         do_sample: bool = False,
         seed: int = 0,
-        max_inflight: int = 2,
+        max_inflight: int = 3,
+        fetch_threads: int = 2,
     ):
         self.model = model
         self.tokenizer = model.tokenizer
@@ -248,11 +249,23 @@ class ContinuousDecodeEngine:
         self._outstanding = 0  # admitted, not yet harvested
         self._chunk_seq = 0
         self._inflight = threading.Semaphore(max(1, int(max_inflight)))
+        # >1 fetch threads overlap the ~30 ms tunnel-RTT snapshot fetches so
+        # the chunk cadence stays device-bound, not RTT-bound. Out-of-order
+        # harvests are safe: a slot only ever goes inactive once per
+        # occupancy, and the per-slot admit seq guard skips pre-admission
+        # snapshots.
+        self._n_fetch = max(1, int(fetch_threads))
         self._threads = [
             threading.Thread(target=self._dispatch_loop, daemon=True, name="engine-dispatch"),
-            threading.Thread(target=self._fetch_loop, daemon=True, name="engine-fetch"),
+        ] + [
+            threading.Thread(target=self._fetch_loop, daemon=True, name=f"engine-fetch-{i}")
+            for i in range(self._n_fetch)
         ]
         self._started = False
+        # instrumentation (PROFILE_serve.md): admits by bucket, chunk count,
+        # per-request (queue-to-admit, total) latencies, fetch RTTs
+        self.counters = {"chunks": 0, "admits": {}, "fetch_ms": []}
+        self._req_phases = []
 
     # -- lifecycle -----------------------------------------------------------------
 
@@ -285,7 +298,26 @@ class ContinuousDecodeEngine:
     def stop(self):
         self._stop.set()
         self._work.set()
-        self._fetchq.put(None)
+        self._inflight.release()  # unblock a dispatch waiting on the semaphore
+        for _ in range(self._n_fetch):
+            self._fetchq.put(None)
+
+    def stats(self) -> dict:
+        with self._lock:
+            phases = list(self._req_phases)
+            counters = {
+                "chunks": self.counters["chunks"],
+                "admits": dict(self.counters["admits"]),
+                "fetch_ms": list(self.counters["fetch_ms"][-200:]),
+            }
+        out = {"chunks_dispatched": counters["chunks"], "admits_by_bucket": counters["admits"]}
+        if counters["fetch_ms"]:
+            out["fetch_rtt_p50_ms"] = round(float(np.percentile(counters["fetch_ms"], 50)), 1)
+        if phases:
+            qa = [p[0] for p in phases[-500:]]
+            out["queue_to_admit_p50_ms"] = round(float(np.percentile(qa, 50)), 1)
+            out["queue_to_admit_p95_ms"] = round(float(np.percentile(qa, 95)), 1)
+        return out
 
     # -- request path ----------------------------------------------------------------
 
@@ -326,17 +358,18 @@ class ContinuousDecodeEngine:
                     self._queue.put(r)
                 images = np.zeros((bucket, size, size, 3), np.uint8)
                 ids = np.full((bucket,), self.slots, np.int32)
+                now = time.perf_counter()
                 with self._lock:
-                    taken = []
                     for i, req in enumerate(arrivals):
                         s = self._free.pop()
-                        taken.append(s)
                         images[i] = req["image"]
                         ids[i] = s
+                        req["t_admit"] = now
                         # snapshots from chunks dispatched before this admit
                         # must not harvest the new occupant
                         self._table[s] = {"req": req, "seq": self._chunk_seq}
                     self._outstanding += len(arrivals)
+                    self.counters["admits"][bucket] = self.counters["admits"].get(bucket, 0) + 1
                 self._state = self._admit(
                     self._enc_params, self._dec_params, self._state,
                     jnp.asarray(images), jnp.asarray(ids), *self.sampling,
@@ -344,10 +377,26 @@ class ContinuousDecodeEngine:
             with self._lock:
                 busy = self._outstanding > 0
             if busy:
-                self._inflight.acquire()
+                # Wait for a chunk slot, but keep admissions flowing: a fetch
+                # takes ~1 tunnel RTT (~30 ms), and a request arriving during
+                # that wait should not queue behind it (measured: this wait
+                # was the queue_to_admit p95 of ~80 ms under a 16-way burst).
+                acquired = False
+                while not self._stop.is_set():
+                    if self._inflight.acquire(timeout=0.004):
+                        acquired = True
+                        break
+                    if not self._queue.empty():
+                        with self._lock:
+                            has_free = bool(self._free)
+                        if has_free:
+                            break  # admit first, chunk next iteration
+                if not acquired:
+                    continue
                 if self._stop.is_set():
                     break
                 self._chunk_seq += 1
+                self.counters["chunks"] += 1
                 self._state, snap = self._chunk(
                     self._dec_params, self._state, *self.sampling
                 )
@@ -367,16 +416,27 @@ class ContinuousDecodeEngine:
             if item is None:
                 return
             seq, snap = item
+            t0 = time.perf_counter()
             snap_np = np.asarray(snap)  # blocks ~1 tunnel RTT
+            fetch_ms = 1000.0 * (time.perf_counter() - t0)
             seqs_np, active_np = snap_np[:, :-1], snap_np[:, -1].astype(bool)
             self._inflight.release()
             finished = []
+            now = time.perf_counter()
             with self._lock:
+                self.counters["fetch_ms"].append(fetch_ms)
+                self.counters["fetch_ms"] = self.counters["fetch_ms"][-1000:]
                 for s, entry in enumerate(self._table):
                     if entry is None or seq <= entry["seq"]:
                         continue  # free, or admitted after this chunk was dispatched
                     if not active_np[s]:
-                        finished.append((entry["req"], seqs_np[s]))
+                        req = entry["req"]
+                        finished.append((req, seqs_np[s]))
+                        self._req_phases.append((
+                            1000.0 * (req.get("t_admit", req["t0"]) - req["t0"]),
+                            1000.0 * (now - req["t0"]),
+                        ))
+                        self._req_phases = self._req_phases[-1000:]
                         self._table[s] = None
                         self._free.append(s)
                         self._outstanding -= 1

@@ -11,6 +11,11 @@ ap.add_argument("--port", type=int, default=8077)
 ap.add_argument("--concurrency", type=int, default=16)
 ap.add_argument("--rounds", type=int, default=8)
 ap.add_argument("--sequential", type=int, default=32)
+ap.add_argument("--poisson-rps", type=float, default=0.0,
+                help="also run an open-loop Poisson arrival pass at this rate "
+                     "(requests/s) — the traffic pattern where iteration-level "
+                     "admission (scheduler=continuous) matters")
+ap.add_argument("--poisson-seconds", type=float, default=20.0)
 a = ap.parse_args()
 base = f"http://127.0.0.1:{a.port}"
 
@@ -70,10 +75,31 @@ def pct(xs):
             for k, q in (("p50", 50), ("p95", 95), ("p99", 99))} | {
             "mean": round(float(xs.mean()), 1), "n": len(xs)}
 
+# open-loop Poisson pass: requests fired at exponential inter-arrival times,
+# never waiting for earlier responses (open loop = arrival rate independent of
+# service latency, the honest way to measure tail latency under load)
+poisson = []
+if a.poisson_rps > 0:
+    prng = np.random.default_rng(1)
+    stop_at = time.perf_counter() + a.poisson_seconds
+    threads = []
+    i = 0
+    while time.perf_counter() < stop_at:
+        t = threading.Thread(target=lambda j=i: poisson.append(post(imgs[j % len(imgs)])[0]))
+        t.start()
+        threads.append(t)
+        i += 1
+        time.sleep(float(prng.exponential(1.0 / a.poisson_rps)))
+    for t in threads:
+        t.join()
+
 health = json.loads(urllib.request.urlopen(base + "/healthz", timeout=30).read())
 burst = [b for b in burst if b is not None]
-print(json.dumps({"sequential_ms": pct(seq),
-                  f"burst{a.concurrency}_ms": pct(burst),
-                  "burst_rounds_minmax_ms": rounds,
-                  "retried_connection_errors": len(errors),
-                  "server_healthz": health}, indent=1))
+out = {"sequential_ms": pct(seq),
+       f"burst{a.concurrency}_ms": pct(burst),
+       "burst_rounds_minmax_ms": rounds,
+       "retried_connection_errors": len(errors),
+       "server_healthz": health}
+if poisson:
+    out[f"poisson{a.poisson_rps:g}rps_ms"] = pct([p for p in poisson if p is not None])
+print(json.dumps(out, indent=1))

@@ -337,6 +337,7 @@ class ContinuousCaptionService:
         if lat:
             out["p50_ms"] = round(float(np.percentile(lat, 50)), 2)
             out["p95_ms"] = round(float(np.percentile(lat, 95)), 2)
+        out.update(self.engine.stats())
         return out
 
 
