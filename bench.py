@@ -17,7 +17,11 @@ Baseline derivation (BASELINE.md): the reference trains stage 1 on an
 RTX 3090 in ~80 of its ~95 total minutes — 25K samples x 10 epochs =
 250K pairs => ~52 pairs/sec. ``vs_baseline`` is ours / 52.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
+headline stage-1 number — plus, in the same line (default --mode all),
+`stage2_dpo_pairs_per_sec_chip` and `eval_captions_per_sec_chip` with their
+per-window spreads, so the one driver-recorded artifact carries all three
+BASELINE.json north-star metrics, each a median of repeated windows.
 """
 
 import json
@@ -52,7 +56,12 @@ def _enable_compile_cache():
         print(f"compile cache unavailable: {e}", file=sys.stderr)
 
 
-def run_bench(batch_size: int, steps: int = 10, warmup: int = 2) -> float:
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
+def run_bench(batch_size: int, steps: int = 10, warmup: int = 2, reps: int = 3):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -102,21 +111,26 @@ def run_bench(batch_size: int, steps: int = 10, warmup: int = 2) -> float:
     jax.block_until_ready(metrics["loss"])
     print(f"warmup ({warmup} steps incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
-    t0 = time.time()
-    for _ in range(steps):
-        state, metrics = step(state, batch, key)
-        _ = float(metrics["loss"])  # hard per-step sync: no async-dispatch inflation
-    dt = time.time() - t0
-    pairs_per_sec = batch_size * steps / dt
-    print(
-        f"{steps} steps x batch {batch_size} in {dt:.2f}s -> {pairs_per_sec:.1f} pairs/s "
-        f"(loss={float(metrics['loss']):.4f})",
-        file=sys.stderr,
-    )
-    return pairs_per_sec
+    # De-noising (round-3 verdict weak #1): the tunnel shows a wide noise band
+    # on identical probes, so one 10-step window cannot tell regression from
+    # noise. Measure `reps` separated windows and report the median + spread.
+    windows = []
+    for r in range(reps):
+        t0 = time.time()
+        for _ in range(steps):
+            state, metrics = step(state, batch, key)
+            _ = float(metrics["loss"])  # hard per-step sync: no async-dispatch inflation
+        dt = time.time() - t0
+        windows.append(batch_size * steps / dt)
+        print(
+            f"window {r + 1}/{reps}: {steps} steps x batch {batch_size} in {dt:.2f}s "
+            f"-> {windows[-1]:.1f} pairs/s (loss={float(metrics['loss']):.4f})",
+            file=sys.stderr,
+        )
+    return windows
 
 
-def run_stage2_bench(batch_size: int = 32, steps: int = 15, warmup: int = 3) -> float:
+def run_stage2_bench(batch_size: int = 32, steps: int = 15, warmup: int = 3, reps: int = 3):
     # >=15 timed steps: 5-step runs over the device tunnel showed ~20%
     # spread (83.9 vs 106.3 pairs/s measured minutes apart)
     """DPO pairs/sec: policy + frozen bf16 reference logprobs, one jitted step."""
@@ -168,17 +182,23 @@ def run_stage2_bench(batch_size: int = 32, steps: int = 15, warmup: int = 3) -> 
             print(f"stage2 rbg keys failed ({type(e).__name__}); falling back "
                   f"to threefry", file=sys.stderr)
     jax.block_until_ready(metrics["loss"])
-    t0 = time.time()
-    for _ in range(steps):
-        state, metrics = step(state, ref_params, batch, key)
-        _ = float(metrics["loss"])  # hard per-step sync
-    dt = time.time() - t0
-    pps = batch_size * steps / dt
-    print(f"stage2: {steps} steps x batch {batch_size} in {dt:.2f}s -> {pps:.1f} pairs/s", file=sys.stderr)
-    return pps
+    windows = []
+    for r in range(reps):
+        t0 = time.time()
+        for _ in range(steps):
+            state, metrics = step(state, ref_params, batch, key)
+            _ = float(metrics["loss"])  # hard per-step sync
+        dt = time.time() - t0
+        windows.append(batch_size * steps / dt)
+        print(
+            f"stage2 window {r + 1}/{reps}: {steps} steps x batch {batch_size} "
+            f"in {dt:.2f}s -> {windows[-1]:.1f} pairs/s",
+            file=sys.stderr,
+        )
+    return windows
 
 
-def run_eval_bench(batch_size: int = 32, max_length: int = 64) -> float:
+def run_eval_bench(batch_size: int = 32, max_length: int = 64):
     """Greedy caption decode throughput (captions/sec)."""
     import jax
     import numpy as np
@@ -207,14 +227,14 @@ def run_eval_bench(batch_size: int = 32, max_length: int = 64) -> float:
         t0 = time.time()
         caps = model.generate_captions(images, max_length=max_length)
         times.append(time.time() - t0)
-    dt = sorted(times)[len(times) // 2]
+    dt = _median(times)
     cps = len(caps) / dt
     print(
         f"eval: batch {batch_size} x len {max_length} greedy, median {dt:.2f}s "
         f"of {[round(t, 2) for t in times]} -> {cps:.1f} captions/s",
         file=sys.stderr,
     )
-    return cps
+    return [len(caps) / t for t in times]
 
 
 def main():
@@ -222,32 +242,37 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="stage1", choices=["stage1", "stage2", "eval"])
+    ap.add_argument("--mode", default="all", choices=["all", "stage1", "stage2", "eval"])
     args, _ = ap.parse_known_args()
-    if args.mode == "stage2":
-        v = None
+
+    def _stage1():
+        for bs in (128, 64, 32, 16, 8):
+            try:
+                return run_bench(bs)
+            except Exception as e:
+                print(f"batch {bs} failed ({type(e).__name__}: {e}); retrying smaller", file=sys.stderr)
+        return None
+
+    def _stage2():
         for bs in (32, 16):
             try:
-                v = run_stage2_bench(batch_size=bs)
-                break
+                return run_stage2_bench(batch_size=bs)
             except Exception as e:
                 print(f"stage2 batch {bs} failed ({type(e).__name__}); retrying smaller", file=sys.stderr)
-        assert v is not None
-        print(json.dumps({"metric": "stage2 DPO pairs/sec/chip (vocab 50262)", "value": round(v, 2), "unit": "pairs/s/chip", "vs_baseline": None}))
+        return None
+
+    if args.mode == "stage2":
+        w = _stage2()
+        assert w is not None
+        print(json.dumps({"metric": "stage2 DPO pairs/sec/chip (vocab 50262)", "value": round(_median(w), 2), "unit": "pairs/s/chip", "vs_baseline": None}))
         return 0
     if args.mode == "eval":
-        v = run_eval_bench()
-        print(json.dumps({"metric": "eval captions/sec/chip (vocab 50262)", "value": round(v, 2), "unit": "captions/s/chip", "vs_baseline": None}))
+        w = run_eval_bench()
+        print(json.dumps({"metric": "eval captions/sec/chip (vocab 50262)", "value": round(_median(w), 2), "unit": "captions/s/chip", "vs_baseline": None}))
         return 0
-    batch_sizes = [128, 64, 32, 16, 8]
-    value = None
-    for bs in batch_sizes:
-        try:
-            value = run_bench(bs)
-            break
-        except Exception as e:
-            print(f"batch {bs} failed ({type(e).__name__}: {e}); retrying smaller", file=sys.stderr)
-    if value is None:
+
+    s1 = _stage1()
+    if s1 is None:
         print(json.dumps({"metric": "stage1 pairs/sec/chip", "value": 0.0, "unit": "pairs/s", "vs_baseline": 0.0}))
         return 1
     n_chips = 1
@@ -257,17 +282,34 @@ def main():
         n_chips = max(1, len(jax.devices()))
     except Exception:
         pass
-    per_chip = value / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "stage1 pairs/sec/chip (ViT-B/32 + GPT-2 Medium, vocab 50262)",
-                "value": round(per_chip, 2),
-                "unit": "pairs/s/chip",
-                "vs_baseline": round(per_chip / BASELINE_PAIRS_PER_SEC, 2),
-            }
-        )
-    )
+    per_chip = _median(s1) / n_chips
+    record = {
+        # headline metric stays stage-1 pairs/s/chip (BASELINE.md derivation);
+        # `value` is the MEDIAN of the measured windows, `windows` carries the
+        # spread so a future reader can tell tunnel noise from regression.
+        "metric": "stage1 pairs/sec/chip (ViT-B/32 + GPT-2 Medium, vocab 50262)",
+        "value": round(per_chip, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(per_chip / BASELINE_PAIRS_PER_SEC, 2),
+        "stage1_windows": [round(v / n_chips, 2) for v in s1],
+    }
+    if args.mode == "all":
+        # BASELINE.json names three north-star metrics; capture all of them
+        # in the single driver-recorded line (round-3 verdict item 3).
+        try:
+            s2 = _stage2()
+            if s2 is not None:
+                record["stage2_dpo_pairs_per_sec_chip"] = round(_median(s2) / n_chips, 2)
+                record["stage2_windows"] = [round(v / n_chips, 2) for v in s2]
+        except Exception as e:
+            print(f"stage2 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            ev = run_eval_bench()
+            record["eval_captions_per_sec_chip"] = round(_median(ev) / n_chips, 2)
+            record["eval_windows"] = [round(v / n_chips, 2) for v in ev]
+        except Exception as e:
+            print(f"eval bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    print(json.dumps(record))
     return 0
 
 
