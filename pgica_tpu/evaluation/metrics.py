@@ -49,6 +49,75 @@ def _ngram_counts(tokens: Sequence[str], n: int) -> Counter:
     return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
 
 
+class _TableLemma:
+    __slots__ = ("_name",)
+
+    def __init__(self, name: str):
+        self._name = name
+
+    def name(self) -> str:
+        return self._name
+
+
+class _TableSynset:
+    __slots__ = ("_lemmas",)
+
+    def __init__(self, names):
+        self._lemmas = [_TableLemma(n) for n in names]
+
+    def lemmas(self):
+        return self._lemmas
+
+
+class _TableWordnet:
+    """Wordnet-shaped synonym table for METEOR's synonym stage.
+
+    Exposes exactly the surface nltk's aligner consumes —
+    ``synsets(word) -> [synset.lemmas() -> lemma.name()]`` — backed by a JSON
+    file mapping word -> [synonyms]. The mapping is symmetrized at load (real
+    wordnet synonymy is symmetric through shared synsets). Multiword lemmas
+    (containing "_") are filtered by nltk itself, matching real-corpus
+    behavior.
+    """
+
+    def __init__(self, table: Dict[str, List[str]]):
+        # nltk's aligner runs its stem stage BEFORE the wordnet stage and
+        # hands the synonym matcher the STEMMED leftovers (upstream
+        # _enum_stem_match returns stemmed unmatched lists), so lookups and
+        # lemma names must also cover Porter-stemmed forms of every entry.
+        try:
+            from nltk.stem.porter import PorterStemmer
+
+            stem = PorterStemmer().stem
+        except Exception:  # table still works for exact surface forms
+            def stem(w):
+                return w
+
+        sym: Dict[str, set] = {}
+        for word, syns in table.items():
+            w = word.lower()
+            for s in syns:
+                s = s.lower()
+                for a, b in ((w, s), (s, w)):
+                    for key in {a, stem(a)}:
+                        sym.setdefault(key, set()).update({b, stem(b)})
+        self._table = {w: sorted(s) for w, s in sym.items()}
+
+    @classmethod
+    def from_json(cls, path: str) -> "_TableWordnet":
+        import json
+
+        with open(path) as f:
+            table = json.load(f)
+        if not isinstance(table, dict):
+            raise ValueError(f"{path}: expected a JSON object of word -> [synonyms]")
+        return cls(table)
+
+    def synsets(self, word: str):
+        names = self._table.get(word.lower())
+        return [_TableSynset([word.lower(), *names])] if names else []
+
+
 class CaptioningMetrics:
     """All caption metrics behind one object (reference surface parity)."""
 
@@ -59,6 +128,7 @@ class CaptioningMetrics:
         model=None,
         clip_judge=None,
         bert_model_path: Optional[str] = None,
+        wordnet_path: Optional[str] = None,
     ):
         # device/cache_dir kept for reference API parity; JAX manages devices.
         self.device = device
@@ -73,6 +143,15 @@ class CaptioningMetrics:
         # (transformers + torch-cpu run offline against local files).
         self.bert_model_path = bert_model_path
         self._hf_bert = None
+        # METEOR synonym stage (reference metrics.py:311-338 delegates to nltk
+        # with the wordnet corpus, absent offline). ``wordnet_path`` is either
+        # an nltk data directory (containing corpora/wordnet — enables the
+        # REAL nltk reader) or a JSON file mapping word -> [synonyms] (wrapped
+        # in a wordnet-shaped table with the same synsets/lemmas/name surface
+        # nltk's aligner consumes).
+        self.wordnet_path = wordnet_path
+        self._wordnet = None
+        self._wordnet_resolved = False
 
     # ------------------------------------------------------------------ BLEU
 
@@ -212,21 +291,48 @@ class CaptioningMetrics:
             scorer = self._meteor_pair
             flags["meteor_synonym_stage"] = 0.0
         else:
-            flags["meteor_synonym_stage"] = 1.0 if self._wordnet_available() else 0.0
+            flags["meteor_synonym_stage"] = 1.0 if self._resolve_wordnet() is not None else 0.0
         scores = []
         for pred, refs in zip(predictions, references):
             scores.append(max(scorer(pred, ref) for ref in refs) if refs else 0.0)
         return {"meteor": float(np.mean(scores)) if scores else 0.0, **flags}
 
-    @staticmethod
-    def _wordnet_available() -> bool:
+    def _resolve_wordnet(self):
+        """Synonym backend for METEOR, resolved once.
+
+        Priority: ``wordnet_path`` (nltk data dir, or JSON synonym table) ->
+        nltk's installed wordnet corpus -> None (synonym stage flagged off).
+        """
+        if self._wordnet_resolved:
+            return self._wordnet
+        self._wordnet_resolved = True
+        if self.wordnet_path:
+            import os
+
+            path = str(self.wordnet_path)
+            try:
+                if os.path.isdir(path):
+                    import nltk.data
+
+                    if path not in nltk.data.path:
+                        nltk.data.path.insert(0, path)
+                    from nltk.corpus import wordnet
+
+                    wordnet.synsets("test")  # force-load the corpus
+                    self._wordnet = wordnet
+                else:
+                    self._wordnet = _TableWordnet.from_json(path)
+                return self._wordnet
+            except Exception as e:
+                logger.warning("wordnet_path %s unusable (%s); synonym stage off", path, e)
         try:
             from nltk.corpus import wordnet
 
             wordnet.synsets("test")
-            return True
+            self._wordnet = wordnet
         except Exception:
-            return False
+            self._wordnet = None
+        return self._wordnet
 
     def _nltk_meteor_pair(self):
         """Returns fn(pred, ref) -> float backed by nltk, or None."""
@@ -237,9 +343,8 @@ class CaptioningMetrics:
             return None
 
         stemmer = PorterStemmer()
-        if self._wordnet_available():
-            from nltk.corpus import wordnet
-        else:
+        wordnet = self._resolve_wordnet()
+        if wordnet is None:
             class wordnet:  # no-op synonym stage (corpus unavailable offline)
                 @staticmethod
                 def synsets(word):

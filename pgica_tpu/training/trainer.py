@@ -514,7 +514,11 @@ class PreferenceGuidedTrainer:
                 skip_steps=skip_steps if epoch == start_epoch else 0,
             )
             self.history["stage0"].append(
-                {"epoch": epoch, "train_loss": epoch_metrics.get("loss")}
+                {
+                    "epoch": epoch,
+                    "train_loss": epoch_metrics.get("loss"),
+                    "input_wait_fraction": epoch_metrics.get("input_wait_fraction"),
+                }
             )
         self._sync_model(state)
         return {"history": self.history["stage0"]}
@@ -603,7 +607,12 @@ class PreferenceGuidedTrainer:
             val_loss = self._validate(
                 self._train_params(state), self.val_loader, eval_step, stage=1, epoch=epoch
             )
-            record = {"epoch": epoch, "train_loss": epoch_metrics.get("loss"), "val_loss": val_loss}
+            record = {
+                "epoch": epoch,
+                "train_loss": epoch_metrics.get("loss"),
+                "val_loss": val_loss,
+                "input_wait_fraction": epoch_metrics.get("input_wait_fraction"),
+            }
             self.history["stage1"].append(record)
 
             self._sync_model(state)
@@ -840,7 +849,12 @@ class PreferenceGuidedTrainer:
                 self._train_params(state), self.preference_val_loader, eval_step,
                 stage=2, epoch=epoch, ref_params=ref_params,
             )
-            record = {"epoch": epoch, "train_loss": epoch_metrics.get("loss"), "val_loss": val_loss}
+            record = {
+                "epoch": epoch,
+                "train_loss": epoch_metrics.get("loss"),
+                "val_loss": val_loss,
+                "input_wait_fraction": epoch_metrics.get("input_wait_fraction"),
+            }
             self.history["stage2"].append(record)
 
             self._sync_model(state)
@@ -930,7 +944,26 @@ class PreferenceGuidedTrainer:
                 base_iter, total=len(loader), initial=start_idx,
                 desc=f"stage{stage} epoch {epoch}", leave=False,
             )
-        for step_idx, batch in enumerate(iterator, start=start_idx):
+
+        # Input-starvation detector: time spent blocked in the loader's
+        # next() vs everything else (device step dispatch + donation waits).
+        # On the 1-core dev host this validates/refutes the multi-core feed
+        # capacity model (BACKLOG.md) the first time a many-core host runs.
+        input_wait_s = 0.0
+
+        def _timed(it):
+            nonlocal input_wait_s
+            it = iter(it)
+            while True:
+                t_wait = time.perf_counter()
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    return
+                input_wait_s += time.perf_counter() - t_wait
+                yield batch
+
+        for step_idx, batch in enumerate(_timed(iterator), start=start_idx):
             if self.max_steps_per_epoch is not None and step_idx >= self.max_steps_per_epoch:
                 break
             if step_idx < skip_steps:
@@ -960,12 +993,27 @@ class PreferenceGuidedTrainer:
             mean_loss = float("nan")
         dt = time.perf_counter() - t0
         skipped = int(state.skipped)
+        input_wait_fraction = input_wait_s / max(dt, 1e-6)
         logger.info(
-            "stage %d epoch %d: train_loss=%.4f (%d steps, %.1f pairs/s, %d NaN-skipped)",
+            "stage %d epoch %d: train_loss=%.4f (%d steps, %.1f pairs/s, "
+            "%d NaN-skipped, input wait %.0f%%)",
             stage, epoch, mean_loss, len(losses), n_items / max(dt, 1e-6), skipped,
+            100.0 * input_wait_fraction,
         )
+        if input_wait_fraction > 0.25 and len(losses) > 1:
+            logger.warning(
+                "stage %d epoch %d is INPUT-BOUND: %.0f%% of epoch wall time was "
+                "spent waiting on the data loader (%.1fs of %.1fs). Raise "
+                "data.num_workers / switch data.loader_backend, or the TPU idles.",
+                stage, epoch, 100.0 * input_wait_fraction, input_wait_s, dt,
+            )
         self._stop_profile()  # close the trace even for very short epochs
-        return state, {"loss": mean_loss, "pairs_per_sec": n_items / max(dt, 1e-6), "skipped": skipped}
+        return state, {
+            "loss": mean_loss,
+            "pairs_per_sec": n_items / max(dt, 1e-6),
+            "skipped": skipped,
+            "input_wait_fraction": round(input_wait_fraction, 4),
+        }
 
     def _validate(self, params, loader, eval_step, stage, epoch, ref_params=None) -> Optional[float]:
         if loader is None or len(loader) == 0:
@@ -1080,6 +1128,19 @@ class PreferenceGuidedTrainer:
                 "history": self.history["stage2"],
             },
             "nan_skipped_note": "per-stage skip counts are logged per epoch",
+            # Starvation detector: worst per-epoch fraction of wall time spent
+            # blocked on the data loader (per-epoch values in each history
+            # record). >0.25 means the run was input-bound — raise
+            # data.num_workers before believing any throughput number.
+            "input_wait_fraction": max(
+                (
+                    rec["input_wait_fraction"]
+                    for recs in self.history.values()
+                    for rec in recs
+                    if rec.get("input_wait_fraction") is not None
+                ),
+                default=None,
+            ),
         }
         path = self.output_dir / "results.json"
         path.write_text(json.dumps(payload, indent=2))

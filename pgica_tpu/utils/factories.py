@@ -198,6 +198,9 @@ def create_metrics(config, model=None):
       ``clip_score_self_judged``) is the fallback.
     * ``evaluation.bert_score_model_path`` — local HF encoder checkpoint for
       real BERTScore embeddings; proxies (flagged) otherwise.
+    * ``evaluation.wordnet_path`` — nltk data directory (real wordnet corpus)
+      or JSON synonym table enabling METEOR's synonym stage (reference
+      metrics.py:311-338); without it the stage is a flagged no-op.
     """
     from pgica_tpu.evaluation.metrics import CaptioningMetrics
 
@@ -221,7 +224,14 @@ def create_metrics(config, model=None):
     if bert_path and not Path(str(bert_path)).exists():
         logger.warning("bert_score_model_path %s not found; proxy BERTScore", bert_path)
         bert_path = None
-    return CaptioningMetrics(model=model, clip_judge=clip_judge, bert_model_path=bert_path)
+    wordnet_path = config.get("evaluation.wordnet_path")
+    if wordnet_path and not Path(str(wordnet_path)).exists():
+        logger.warning("wordnet_path %s not found; METEOR synonym stage off", wordnet_path)
+        wordnet_path = None
+    return CaptioningMetrics(
+        model=model, clip_judge=clip_judge, bert_model_path=bert_path,
+        wordnet_path=wordnet_path,
+    )
 
 
 def create_mesh(config):

@@ -65,6 +65,8 @@ def main():
     # gates tails on latency_n_requests >= 20). Training loaders above were
     # already built with the training batch size.
     config.set("training.stage1.batch_size", 8)
+    # Round-4 artifact regeneration (VERDICT item 4): EOS early-exit decode on
+    config.set("evaluation.generate_config.early_stop", True)
 
     report = re_mod.run_comprehensive_evaluation(
         config, model, "conceptual", Path(out) / "eval", max_samples=256

@@ -229,6 +229,58 @@ class TestMeteorNltkGolden:
         assert m.compute_meteor_score(["xyz"], [["abc def"]])["meteor"] == 0.0
 
 
+class TestMeteorSynonymStage:
+    """evaluation.wordnet_path hook (reference metrics.py:311-338 runs nltk's
+    wordnet synonym stage): a user-supplied JSON synonym table must enable
+    synonym-only alignments end-to-end through nltk's aligner."""
+
+    HYP = ["a feline sat on the mat"]
+    REF = [["a cat sat on the mat"]]
+
+    @pytest.fixture()
+    def table_path(self, tmp_path):
+        p = tmp_path / "synonyms.json"
+        p.write_text(json.dumps({"cat": ["feline"], "quick": ["fast", "speedy"]}))
+        return str(p)
+
+    def test_synonym_stage_raises_score_and_flag(self, table_path):
+        base = CaptioningMetrics().compute_meteor_score(self.HYP, self.REF)
+        syn = CaptioningMetrics(wordnet_path=table_path).compute_meteor_score(self.HYP, self.REF)
+        assert base["meteor_synonym_stage"] == 0.0
+        assert syn["meteor_synonym_stage"] == 1.0
+        # "feline" ~ "cat" only aligns through the synonym stage
+        assert syn["meteor"] > base["meteor"] + 0.1
+        # full alignment: identical to the exact-match sentence score
+        exact = CaptioningMetrics().compute_meteor_score(self.REF[0], [self.REF[0]])
+        assert syn["meteor"] == pytest.approx(exact["meteor"], abs=1e-6)
+
+    def test_table_is_symmetric(self, table_path):
+        # real wordnet synonymy is symmetric through shared synsets; the
+        # table must match in both directions
+        m = CaptioningMetrics(wordnet_path=table_path)
+        fwd = m.compute_meteor_score(["a feline sat"], [["a cat sat"]])
+        bwd = m.compute_meteor_score(["a cat sat"], [["a feline sat"]])
+        assert fwd["meteor"] == pytest.approx(bwd["meteor"], abs=1e-6)
+        assert fwd["meteor"] > 0.9
+
+    def test_missing_or_bad_path_flags_off(self, tmp_path):
+        bad = tmp_path / "notjson.json"
+        bad.write_text("[1, 2, 3]")
+        out = CaptioningMetrics(wordnet_path=str(bad)).compute_meteor_score(self.HYP, self.REF)
+        assert out["meteor_synonym_stage"] == 0.0
+
+    def test_factory_wires_wordnet_path(self, table_path):
+        from pgica_tpu.utils.config import Config
+        from pgica_tpu.utils.factories import create_metrics
+
+        config = Config("configs/default.yaml")
+        config.set("evaluation.wordnet_path", table_path)
+        m = create_metrics(config)
+        assert m.wordnet_path == table_path
+        out = m.compute_meteor_score(self.HYP, self.REF)
+        assert out["meteor_synonym_stage"] == 1.0
+
+
 class TestMetricProvenanceFlags:
     def test_bert_score_chargram_flagged_proxy(self):
         m = CaptioningMetrics()

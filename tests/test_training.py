@@ -239,6 +239,15 @@ class TestTrainer:
         # per-stage best tracking (fixes reference shared-state bug §2.4.6)
         assert tiny_trainer.best_val_loss[1] != float("inf")
         assert tiny_trainer.best_val_loss[2] != float("inf")
+        # starvation detector: every epoch records its loader-wait fraction,
+        # and results.json surfaces the worst one (round-4 verdict item 8)
+        import json as _json
+
+        for stage in ("stage1", "stage2"):
+            for rec in tiny_trainer.history[stage]:
+                assert 0.0 <= rec["input_wait_fraction"] <= 1.0
+        payload = _json.loads((tiny_trainer.output_dir / "results.json").read_text())
+        assert 0.0 <= payload["input_wait_fraction"] <= 1.0
 
     def test_checkpoint_roundtrip(self, tiny_trainer):
         tiny_trainer.train_stage1()
