@@ -110,6 +110,22 @@ class PreferenceGuidedTrainer:
         self.save_best_checkpoints = bool(config.get("training.save_best_checkpoints", True))
         self._resume: Optional[Dict[str, int]] = None  # stage/epoch/step_in_epoch
         self.seed = config.get("training.seed", 42)
+        # Length bucketing (training/packing.py): slice each batch's token
+        # columns to the smallest multiple-of-32 bucket covering its longest
+        # real sequence — exact (causal attention + masked losses), and the
+        # padded-width decoder pass is both stages' hot loop. One compile per
+        # bucket actually hit. Buckets stay divisible by the seq axis under CP.
+        if bool(config.get("training.length_bucketing", True)):
+            from pgica_tpu.training.packing import default_buckets
+
+            max_len = int(config.get("data.max_caption_length", 128))
+            self._buckets = tuple(
+                config.get("training.length_buckets") or default_buckets(max_len)
+            )
+            self._seq_multiple = (mesh.shape.get("seq", 1) if mesh is not None else 1)
+        else:
+            self._buckets = None
+            self._seq_multiple = 1
         self.history: Dict[str, List] = {"stage0": [], "stage1": [], "stage2": []}
         self._setup_tracking()
 
@@ -172,6 +188,10 @@ class PreferenceGuidedTrainer:
     def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         arrays.pop("preference_score", None)
+        if self._buckets is not None:
+            from pgica_tpu.training.packing import bucket_batch
+
+            arrays = bucket_batch(arrays, self._buckets, self._seq_multiple)
         if self.mesh is not None:
             return self.mesh.shard_batch(arrays)
         return jax.tree.map(jnp.asarray, arrays)

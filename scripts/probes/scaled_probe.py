@@ -1,0 +1,194 @@
+"""Scaled-config on-chip probe (BASELINE configs 4-5; VERDICT r3 item 2).
+
+Compiles and steps `configs/scaled_vitl_gpt2large.yaml` shapes — CLIP
+ViT-L/14 (frozen) + GPT-2 Large policy towers at the true 50,262-token
+vocabulary — single-chip at random init, and records fit/OOM boundary,
+ms/step, pairs/s/chip, FLOP count (compiled cost analysis) and MFU vs the
+v5e bf16 peak (197 TFLOP/s). One (stage, batch, remat) point per process
+invocation so a TPU OOM cannot poison later points; `--sweep` forks the grid.
+
+Reference scale target: /root/reference/README.md:141-142 (867M params at
+gpt2-medium); this config is the next rung up (~1.9B total / ~0.9B trainable
+per stage). Results land in results/PROFILE_scaled.md.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+V5E_BF16_PEAK = 197e12
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--stage", type=int, default=1, choices=(1, 2))
+ap.add_argument("--bs", type=int, default=16)
+ap.add_argument("--remat", action="store_true")
+ap.add_argument("--steps", type=int, default=8)
+ap.add_argument("--warmup", type=int, default=2)
+ap.add_argument("--sweep", action="store_true", help="fork the (stage, bs, remat) grid")
+args = ap.parse_args()
+
+if args.sweep:
+    # Each point in its own process: an OOM'd allocator never taints the next
+    # measurement, and donated buffers are reclaimed by process exit.
+    grid = [
+        (1, 8, False), (1, 16, False), (1, 32, False), (1, 48, False),
+        (1, 32, True), (1, 48, True), (1, 64, True),
+        (2, 4, False), (2, 8, False), (2, 16, False), (2, 8, True), (2, 16, True),
+    ]
+    for stage, bs, remat in grid:
+        cmd = [sys.executable, __file__, "--stage", str(stage), "--bs", str(bs)]
+        if remat:
+            cmd.append("--remat")
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        if r.returncode != 0 and "RESOURCE_EXHAUSTED" not in r.stdout + r.stderr:
+            print(json.dumps({"stage": stage, "bs": bs, "remat": remat,
+                              "error": (r.stderr or r.stdout)[-400:]}), flush=True)
+    sys.exit(0)
+
+import numpy as np  # noqa: E402
+
+from bench import GPT2_VOCAB, _enable_compile_cache, _median  # noqa: E402
+
+_enable_compile_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from pgica_tpu.core.precision import cast_floating  # noqa: E402
+from pgica_tpu.models.model import build_module  # noqa: E402
+from pgica_tpu.training.optim import create_optimizer  # noqa: E402
+from pgica_tpu.training.train_step import (  # noqa: E402
+    TrainState,
+    make_stage1_train_step,
+    make_stage2_train_step,
+)
+
+BS, SEQ = args.bs, 128
+point = {"stage": args.stage, "bs": BS, "remat": args.remat,
+         "backend": jax.default_backend()}
+
+module = build_module(
+    vision_model="openai/clip-vit-large-patch14",
+    text_model="gpt2-large",
+    projection_dim=512,
+    temperature=0.5,
+    vocab_size=GPT2_VOCAB,
+    max_caption_length=SEQ,
+    dtype=jnp.bfloat16,
+    remat=args.remat,
+    freeze_vision_backbone=True,
+)
+
+rng = np.random.default_rng(0)
+images = jnp.asarray(rng.normal(size=(BS, 224, 224, 3)).astype(np.float32))
+ids = jnp.asarray(rng.integers(0, GPT2_VOCAB, (BS, SEQ)).astype(np.int32))
+mask = jnp.ones((BS, SEQ), jnp.int32)
+
+try:
+    params = module.init(
+        jax.random.PRNGKey(0), images[:1], ids[:1], mask[:1], mode="dual"
+    )["params"]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    point["params_m"] = round(n_params / 1e6, 1)
+
+    if args.stage == 1:
+        # Trainer stage-1 semantics: frozen ViT backbone + decoder outside the
+        # gradient graph (trainer.py:211-216) -> no Adam moments for either.
+        opt = create_optimizer(
+            5e-5, total_steps=10_000, warmup_steps=500,
+            params_for_freezing=params, freeze_vision_backbone=True,
+            frozen_prefixes=(("caption_decoder",),),
+        )
+        step = jax.jit(
+            make_stage1_train_step(module, opt, temperature=0.5, augment=True),
+            donate_argnums=(0,),
+        )
+        state = TrainState.create(params, opt)
+        del params
+        batch = {"image": images, "caption_ids": ids, "caption_mask": mask}
+        run = lambda s, k: step(s, batch, k)  # noqa: E731
+    else:
+        opt = create_optimizer(
+            1e-5, total_steps=10_000, warmup_steps=500,
+            params_for_freezing=params, freeze_vision_backbone=True,
+            frozen_prefixes=(("text_encoder",),),
+        )
+        step = jax.jit(
+            make_stage2_train_step(module, opt, beta=0.1, augment=True),
+            donate_argnums=(0,),
+        )
+        # Frozen DPO reference is bf16 (trainer convention: it only ever runs
+        # a bf16 forward).
+        ref = cast_floating(jax.tree.map(lambda x: jnp.array(x, copy=True), params), jnp.bfloat16)
+        state = TrainState.create(params, opt)
+        del params
+        batch = {"image": images, "preferred_ids": ids, "preferred_mask": mask,
+                 "rejected_ids": ids, "rejected_mask": mask}
+        run = lambda s, k: step(s, ref, batch, k)  # noqa: E731
+
+    key = jax.random.PRNGKey(1)
+    t_c0 = time.perf_counter()
+    state, m = run(state, key)
+    jax.block_until_ready(m["loss"])
+    point["compile_s"] = round(time.perf_counter() - t_c0, 1)
+
+    # Compiled-executable accounting (same convention as PROFILE_stage2.md's
+    # 23.03 TFLOP number: the executable's own cost analysis).
+    try:
+        lowered = (step.lower(state, batch, key) if args.stage == 1
+                   else step.lower(state, ref, batch, key))
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        point["tflop_per_step"] = round(float(ca.get("flops", 0.0)) / 1e12, 2)
+        mem = compiled.memory_analysis()
+        if mem is not None:
+            point["mem_args_gb"] = round(mem.argument_size_in_bytes / 2**30, 2)
+            point["mem_temp_gb"] = round(mem.temp_size_in_bytes / 2**30, 2)
+    except Exception as e:  # cost analysis is best-effort on axon
+        point["cost_analysis_error"] = str(e)[:200]
+
+    for i in range(args.warmup):
+        state, m = run(state, jax.random.fold_in(key, i))
+    jax.block_until_ready(m["loss"])
+
+    times = []
+    for i in range(args.steps):
+        t0 = time.perf_counter()
+        state, m = run(state, jax.random.fold_in(key, 100 + i))
+        jax.block_until_ready(m["loss"])
+        times.append(time.perf_counter() - t0)
+    ms = _median(times) * 1e3
+    point["ms_per_step"] = round(ms, 1)
+    point["pairs_per_sec"] = round(BS / (ms / 1e3), 1)
+    point["loss"] = round(float(m["loss"]), 4)
+    if "tflop_per_step" in point:
+        point["mfu_pct"] = round(
+            100.0 * point["tflop_per_step"] * 1e12 / (ms / 1e3) / V5E_BF16_PEAK, 1
+        )
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            point["peak_hbm_gb"] = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        pass
+    point["fit"] = True
+except Exception as e:
+    msg = str(e)
+    if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg.lower():
+        point["fit"] = False
+        point["oom"] = msg.splitlines()[0][:300]
+    else:
+        point["fit"] = False
+        point["error"] = msg[:300]
+        print(json.dumps(point), flush=True)
+        raise
+
+print(json.dumps(point), flush=True)
