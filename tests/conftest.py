@@ -210,11 +210,12 @@ def temp_preference_dataset(tmp_path, rng):
 
 
 # ---------------------------------------------------------------------------
-# Fast gate: `pytest -m "not slow"` finishes in ~8 min on one CPU core
-# (the round-2 CP/ZeRO equivalence tests pushed the full suite past 30 min).
-# Tests below were measured >=8 s each (jit-compile heavy: full trainer loops,
-# 8-device mesh steps, end-to-end converters); the full suite runs them too,
-# just not in the quick gate. Re-measure with `pytest --durations=50`.
+# Fast gate: `pytest -m "not slow"` (time re-measured each round; see
+# PARITY.md C23 for the current number — the CP/ZeRO equivalence suites
+# pushed the FULL suite past 45 min). Tests below were measured >=8 s each
+# (jit-compile heavy: full trainer loops, 8-device mesh steps, end-to-end
+# converters); the full suite runs them too, just not in the quick gate.
+# Re-measure with `pytest -m "not slow" --durations=40`.
 # ---------------------------------------------------------------------------
 
 _SLOW_NODEIDS = (
@@ -245,6 +246,20 @@ _SLOW_NODEIDS = (
     "test_model.py::TestComposedModel::test_gradient_flow_contrastive",
     "test_model.py::TestSharedTextTower",
     "test_metrics.py::TestRunner::test_run_evaluation_end_to_end",
+    # round-4 trim (VERDICT item 9): the r3/r4 ZeRO-3 / scan-layers / CP x TP
+    # equivalence suites pushed the "not slow" gate to ~18 min; each class
+    # below was measured >=17 s (pytest --durations=40, 2026-08-19) and has a
+    # faster sibling still in the gate (scan forward parity, packing wiring,
+    # ring-attention forward, trainer smoke).
+    "test_training.py::TestZero3Trainer",
+    "test_training.py::TestStage0Warmup",
+    "test_training.py::TestStage2ReferencePersistence",
+    "test_scan_layers.py::TestZero3",
+    "test_scan_layers.py::TestScanFSDP::test_stage1_and_stage2_steps_on_fsdp_mesh",
+    "test_parallel.py::TestContextParallelStage2::test_tp_cp_composition_matches_unsharded",
+    "test_parallel.py::TestRingAttention::test_grads_match_single_device",
+    "test_packing.py::TestExactness",
+    "test_cli_helpers.py::TestCaptionService::test_submit_batches_and_stats",
 )
 
 
