@@ -182,7 +182,11 @@ try:
     point["fit"] = True
 except Exception as e:
     msg = str(e)
-    if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg.lower():
+    # Axon's allocator sometimes surfaces OOM as a bare HLO-temp allocation
+    # dump without the RESOURCE_EXHAUSTED prefix (seen on the (1,32,remat=off)
+    # point) — match the dump's framing too.
+    if ("RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
+            or "Allocation type: HLO temp" in msg or "exhausted" in msg.lower()):
         point["fit"] = False
         point["oom"] = msg.splitlines()[0][:300]
     else:
