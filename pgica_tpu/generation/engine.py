@@ -236,7 +236,14 @@ class ContinuousDecodeEngine:
             do_sample=do_sample,
         )
         self._state = self._init_state(jax.random.PRNGKey(seed))
+        self._seed = int(seed)
         self.buckets = [b for b in (1, 2, 4, 8, 16, 32, 64) if b <= self.slots]
+        # Non-power-of-two slot pools (e.g. --slots 24) must still be able to
+        # admit a full burst in one bucket: without this, a burst larger than
+        # the top power of two is split and the overflow re-queued out of
+        # FIFO order, capping admission width below the free-slot count.
+        if self.buckets[-1] != self.slots:
+            self.buckets.append(self.slots)
 
         self._queue: "queue.Queue" = queue.Queue()
         self._fetchq: "queue.Queue" = queue.Queue()
@@ -322,14 +329,33 @@ class ContinuousDecodeEngine:
     # -- request path ----------------------------------------------------------------
 
     def submit(self, image: np.ndarray, timeout: float = 30.0) -> dict:
-        """Blocking: enqueue one uint8 HWC image, wait for its caption."""
+        """Blocking: enqueue one uint8 HWC image, wait for its caption.
+
+        Validates the image eagerly so a malformed direct-API call fails in
+        the caller's thread instead of inside the dispatch daemon (which must
+        never die — a dead dispatch thread hangs the whole service).
+        """
+        image = np.asarray(image)
+        size = self.model.image_size
+        if image.shape != (size, size, 3):
+            raise ValueError(
+                f"image must be HWC uint8 of shape ({size}, {size}, 3); got {image.shape}"
+            )
         done = threading.Event()
-        slot = {"image": np.asarray(image, np.uint8), "event": done,
-                "caption": None, "t0": time.perf_counter()}
+        slot = {"image": image.astype(np.uint8, copy=False), "event": done,
+                "caption": None, "error": None, "cancelled": False,
+                "t0": time.perf_counter()}
         self._queue.put(slot)
         self._work.set()
         if not done.wait(timeout):
+            # Mark so an un-admitted request is skipped at admission instead
+            # of being decoded with no waiter (wasting a slot under overload).
+            # Races with an in-progress admit are benign: worst case it is
+            # decoded and harvested with no reader, exactly the old behavior.
+            slot["cancelled"] = True
             raise TimeoutError("caption request timed out")
+        if slot["error"] is not None:
+            raise RuntimeError("caption request failed in the engine") from slot["error"]
         return {"caption": slot["caption"],
                 "latency_ms": round(1000.0 * (time.perf_counter() - slot["t0"]), 2)}
 
@@ -341,72 +367,123 @@ class ContinuousDecodeEngine:
         out = []
         while len(out) < n_free:
             try:
-                out.append(self._queue.get_nowait())
+                r = self._queue.get_nowait()
             except queue.Empty:
                 break
+            if r.get("cancelled"):
+                continue  # submit() timed out waiting; don't waste a slot
+            out.append(r)
         return out
 
+    def _fail_outstanding(self, exc: BaseException):
+        """Fail every queued + admitted request and reset the slot pool.
+
+        Called when the dispatch loop hits an unexpected error: the device
+        state may be invalid (donated buffers), so the only safe recovery is
+        to error out all in-flight work, rebuild a fresh state, and keep the
+        daemon alive for future requests.
+        """
+        victims: List[dict] = []
+        with self._lock:
+            for s, entry in enumerate(self._table):
+                if entry is not None:
+                    victims.append(entry["req"])
+                self._table[s] = None
+            self._free = list(range(self.slots))
+            self._outstanding = 0
+        while True:
+            try:
+                victims.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for req in victims:
+            req["error"] = exc
+            req["event"].set()
+        try:
+            self._state = self._init_state(jax.random.PRNGKey(self._seed))
+        except Exception:
+            logger.exception("engine state re-init failed; next dispatch will retry")
+
     def _dispatch_loop(self):
-        size = self.model.image_size
+        """Daemon loop. The body is guarded: any error (bad admit input, a
+        transient device failure mid-chunk) fails the outstanding requests and
+        continues, instead of silently killing the thread and hanging every
+        future submit() while /healthz still reports ok."""
         while not self._stop.is_set():
-            arrivals = self._take_arrivals()
-            if arrivals:
-                a = len(arrivals)
-                bucket = next(b for b in self.buckets if b >= a) if a <= self.buckets[-1] else self.buckets[-1]
-                arrivals, overflow = arrivals[:bucket], arrivals[bucket:]
-                for r in overflow:  # shouldn't happen (bounded by free slots)
-                    self._queue.put(r)
-                images = np.zeros((bucket, size, size, 3), np.uint8)
-                ids = np.full((bucket,), self.slots, np.int32)
-                now = time.perf_counter()
-                with self._lock:
-                    for i, req in enumerate(arrivals):
-                        s = self._free.pop()
-                        images[i] = req["image"]
-                        ids[i] = s
-                        req["t_admit"] = now
-                        # snapshots from chunks dispatched before this admit
-                        # must not harvest the new occupant
-                        self._table[s] = {"req": req, "seq": self._chunk_seq}
-                    self._outstanding += len(arrivals)
-                    self.counters["admits"][bucket] = self.counters["admits"].get(bucket, 0) + 1
-                self._state = self._admit(
-                    self._enc_params, self._dec_params, self._state,
-                    jnp.asarray(images), jnp.asarray(ids), *self.sampling,
-                )
+            try:
+                self._dispatch_once()
+            except Exception as exc:  # noqa: BLE001 — daemon must survive
+                logger.exception("engine dispatch error; failing outstanding requests")
+                self._fail_outstanding(exc)
+
+    def _dispatch_once(self):
+        """One dispatch iteration: admit what fits, then queue one chunk."""
+        size = self.model.image_size
+        arrivals = self._take_arrivals()
+        if arrivals:
+            a = len(arrivals)
+            # buckets always end at self.slots, and arrivals <= free <= slots,
+            # so one bucket always covers the whole burst (overflow re-queue
+            # kept purely as a safety net).
+            bucket = next(b for b in self.buckets if b >= a) if a <= self.buckets[-1] else self.buckets[-1]
+            arrivals, overflow = arrivals[:bucket], arrivals[bucket:]
+            for r in overflow:
+                self._queue.put(r)
+            images = np.zeros((bucket, size, size, 3), np.uint8)
+            ids = np.full((bucket,), self.slots, np.int32)
+            now = time.perf_counter()
             with self._lock:
-                busy = self._outstanding > 0
-            if busy:
-                # Wait for a chunk slot, but keep admissions flowing: a fetch
-                # takes ~1 tunnel RTT (~30 ms), and a request arriving during
-                # that wait should not queue behind it (measured: this wait
-                # was the queue_to_admit p95 of ~80 ms under a 16-way burst).
-                acquired = False
-                while not self._stop.is_set():
-                    if self._inflight.acquire(timeout=0.004):
-                        acquired = True
-                        break
-                    if not self._queue.empty():
-                        with self._lock:
-                            has_free = bool(self._free)
-                        if has_free:
-                            break  # admit first, chunk next iteration
-                if not acquired:
-                    continue
-                if self._stop.is_set():
+                for i, req in enumerate(arrivals):
+                    s = self._free.pop()
+                    images[i] = req["image"]
+                    ids[i] = s
+                    req["t_admit"] = now
+                    # snapshots from chunks dispatched before this admit
+                    # must not harvest the new occupant
+                    self._table[s] = {"req": req, "seq": self._chunk_seq}
+                self._outstanding += len(arrivals)
+                self.counters["admits"][bucket] = self.counters["admits"].get(bucket, 0) + 1
+            self._state = self._admit(
+                self._enc_params, self._dec_params, self._state,
+                jnp.asarray(images), jnp.asarray(ids), *self.sampling,
+            )
+        with self._lock:
+            busy = self._outstanding > 0
+        if busy:
+            # Wait for a chunk slot, but keep admissions flowing: a fetch
+            # takes ~1 tunnel RTT (~30 ms), and a request arriving during
+            # that wait should not queue behind it (measured: this wait
+            # was the queue_to_admit p95 of ~80 ms under a 16-way burst).
+            acquired = False
+            while not self._stop.is_set():
+                if self._inflight.acquire(timeout=0.004):
+                    acquired = True
                     break
+                if not self._queue.empty():
+                    with self._lock:
+                        has_free = bool(self._free)
+                    if has_free:
+                        break  # admit first, chunk next iteration
+            if not acquired or self._stop.is_set():
+                if acquired:
+                    self._inflight.release()
+                return
+            try:
                 self._chunk_seq += 1
                 self.counters["chunks"] += 1
                 self._state, snap = self._chunk(
                     self._dec_params, self._state, *self.sampling
                 )
                 self._fetchq.put((self._chunk_seq, snap))
-            else:
-                self._work.clear()
-                if not self._queue.empty():
-                    continue  # a submit raced the clear; re-check arrivals now
-                # nothing active and no arrivals: sleep until a submit
-                self._work.wait(timeout=0.05)
+            except BaseException:
+                self._inflight.release()  # the fetch that would release never runs
+                raise
+        else:
+            self._work.clear()
+            if not self._queue.empty():
+                return  # a submit raced the clear; re-check arrivals now
+            # nothing active and no arrivals: sleep until a submit
+            self._work.wait(timeout=0.05)
 
     # -- fetch thread ----------------------------------------------------------------
 
@@ -417,7 +494,12 @@ class ContinuousDecodeEngine:
                 return
             seq, snap = item
             t0 = time.perf_counter()
-            snap_np = np.asarray(snap)  # blocks ~1 tunnel RTT
+            try:
+                snap_np = np.asarray(snap)  # blocks ~1 tunnel RTT
+            except Exception:  # noqa: BLE001 — daemon must survive
+                logger.exception("engine snapshot fetch failed; skipping chunk %d", seq)
+                self._inflight.release()
+                continue
             fetch_ms = 1000.0 * (time.perf_counter() - t0)
             seqs_np, active_np = snap_np[:, :-1], snap_np[:, -1].astype(bool)
             self._inflight.release()

@@ -39,12 +39,18 @@ _RULES: Tuple[Tuple[str, Tuple], ...] = (
     (r".*(fc_in|gate_proj|up_proj)/kernel$", ("fsdp", "model")),
     (r".*(fc_out|down_proj)/kernel$", ("model", "fsdp")),
     # wte: vocab over model (Megatron vocab-parallel; weight-tied logits get
-    # the matching split). The embedding dim is deliberately NOT fsdp-sharded:
-    # the token-lookup gather inherits the operand's emb sharding, which
-    # conflicts with batch-over-(data, fsdp) activations downstream and made
-    # the SPMD partitioner fall back to involuntary FULL rematerialization of
-    # the [B, S, E] embeddings on data x fsdp x model meshes (root-caused
-    # round 4; 3 warnings in MULTICHIP_r03 traced to exactly this rule).
+    # the matching split). On meshes with a real model axis the embedding dim
+    # is deliberately NOT fsdp-sharded: the token-lookup gather inherits the
+    # operand's emb sharding, which conflicts with batch-over-(data, fsdp)
+    # activations downstream and made the SPMD partitioner fall back to
+    # involuntary FULL rematerialization of the [B, S, E] embeddings on
+    # data x fsdp x model meshes (root-caused round 4; 3 warnings in
+    # MULTICHIP_r03 traced to exactly this rule). On PURE-FSDP meshes
+    # (model axis absent or size 1) that conflict cannot arise — vocab is
+    # unsharded so the gather is local — and replicating wte there costs
+    # ~0.6 GB/device for GPT-2's 50262x1024 table (params + fp32 Adam state),
+    # so infer_param_spec swaps the emb dim back to fsdp in that case
+    # (verified remat-warning-free on an fsdp=8 mesh, round 5).
     (r".*wte/embedding$", ("model", None)),
     (r".*wpe/embedding$", (None, "fsdp")),
     (r".*patch_embed/kernel$", (None, None, None, "model")),
@@ -95,6 +101,9 @@ def infer_param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
     scanned = "blocks" in path.split("/")
     for pattern, dims in _RULES:
         if re.match(pattern, path):
+            if dims == ("model", None) and _axis_size(mesh, "model") == 1:
+                # wte on a pure-FSDP mesh: see the rule-table comment.
+                dims = (None, "fsdp")
             if scanned:
                 layer_dims = ("fsdp",) + tuple(
                     None if a == "fsdp" else a for a in dims

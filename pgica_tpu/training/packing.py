@@ -78,7 +78,16 @@ def bucket_batch(
     out = dict(batch)
     for pairs in keysets:
         full = max(batch[mask].shape[1] for _, mask in pairs)
-        max_len = max(int(batch[mask].sum(axis=1).max(initial=0)) for _, mask in pairs)
+        # Bound = one past the LAST set mask column (not the per-row count):
+        # a mask with interior holes — e.g. a collator masking special tokens
+        # mid-sequence — has count < last-set-position, and a count-based
+        # bucket would silently slice off real trailing tokens. Scanning for
+        # the last nonzero column keeps the EXACTNESS contract for any mask.
+        max_len = 0
+        for _, mask in pairs:
+            set_cols = np.flatnonzero(np.asarray(batch[mask]).any(axis=0))
+            if set_cols.size:
+                max_len = max(max_len, int(set_cols[-1]) + 1)
         bucket = pick_bucket(max(max_len, 1), buckets)
         if multiple_of > 1:
             bucket = min(full, -(-bucket // multiple_of) * multiple_of)

@@ -68,6 +68,74 @@ def test_engine_single_slot_reuse(tiny_model, engine_images):
     assert got == ref
 
 
+def test_engine_non_power_of_two_slots(tiny_model, engine_images):
+    """A non-pow2 pool still admits a full burst in one FIFO bucket."""
+    from pgica_tpu.generation.engine import ContinuousDecodeEngine
+
+    eng = ContinuousDecodeEngine(tiny_model, slots=6, chunk=2, max_length=8)
+    assert eng.buckets[-1] == 6  # slots itself is always the top bucket
+    eng.stop()
+    ref = tiny_model.generate_captions(engine_images, max_length=8)
+    got = _run_engine(tiny_model, engine_images, slots=6, chunk=2)
+    assert got == ref
+
+
+def test_engine_submit_validates_image(tiny_model):
+    """Malformed direct-API input fails in the caller, not the daemon."""
+    from pgica_tpu.generation.engine import ContinuousDecodeEngine
+
+    eng = ContinuousDecodeEngine(tiny_model, slots=2, chunk=1, max_length=8)
+    try:
+        with pytest.raises(ValueError, match="image must be"):
+            eng.submit(np.zeros((8, 8), np.uint8))  # 2D: wrong ndim
+        with pytest.raises(ValueError, match="image must be"):
+            eng.submit(np.zeros((16, 16, 3), np.uint8))  # wrong size
+    finally:
+        eng.stop()
+
+
+def test_engine_survives_dispatch_error(tiny_model, engine_images):
+    """A dispatch-loop error fails the victim request and the engine keeps
+    serving (the old behavior silently killed the daemon and hung forever)."""
+    from pgica_tpu.generation.engine import ContinuousDecodeEngine
+
+    eng = ContinuousDecodeEngine(tiny_model, slots=2, chunk=2, max_length=8)
+    eng.warmup()
+    real_admit, boom = eng._admit, {"n": 1}
+
+    def flaky_admit(*a, **k):
+        if boom["n"]:
+            boom["n"] -= 1
+            raise RuntimeError("injected device error")
+        return real_admit(*a, **k)
+
+    eng._admit = flaky_admit
+    eng.start()
+    try:
+        with pytest.raises(RuntimeError, match="failed in the engine"):
+            eng.submit(engine_images[0], timeout=60)
+        # engine recovered: fresh state, slots free, next request succeeds
+        ref = tiny_model.generate_captions(engine_images[1:2], max_length=8)
+        assert eng.submit(engine_images[1], timeout=120)["caption"] == ref[0]
+    finally:
+        eng.stop()
+
+
+def test_engine_timeout_cancels_unadmitted(tiny_model):
+    """A timed-out submit marks its request; admission skips it."""
+    from pgica_tpu.generation.engine import ContinuousDecodeEngine
+
+    eng = ContinuousDecodeEngine(tiny_model, slots=2, chunk=1, max_length=8)
+    try:
+        img = np.zeros((tiny_model.image_size,) * 2 + (3,), np.uint8)
+        # engine not started: the request sits in the queue and times out
+        with pytest.raises(TimeoutError):
+            eng.submit(img, timeout=0.05)
+        assert eng._take_arrivals() == []  # cancelled request is skipped
+    finally:
+        eng.stop()
+
+
 def test_per_row_cache_write_matches_scalar():
     """layers.MultiHeadAttention: (B,) positions == scalar position per row."""
     import jax

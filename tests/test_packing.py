@@ -81,6 +81,31 @@ class TestBucketBatch:
         out = bucket_batch(b, (32, 64))
         assert out["caption_ids"].shape == (2, 64)
 
+    def test_non_prefix_mask_keeps_all_valid_tokens(self):
+        # A mask with interior holes (e.g. special tokens masked mid-sequence):
+        # the set-bit COUNT is 6 (would pick bucket 32) but the last valid
+        # token sits at column 40 — the bucket must cover it. A count-based
+        # bound would silently truncate real tokens; the exactness contract
+        # says never.
+        m = np.zeros((2, 128), np.int32)
+        m[0, [0, 1, 5, 9, 38, 40]] = 1  # holes; last set col = 40
+        m[1, :3] = 1
+        b = {"caption_ids": np.arange(2 * 128, dtype=np.int32).reshape(2, 128),
+             "caption_mask": m}
+        out = bucket_batch(b, (32, 64, 96, 128))
+        assert out["caption_ids"].shape == (2, 64)  # covers col 40, trims the rest
+        np.testing.assert_array_equal(
+            out["caption_ids"] * out["caption_mask"],
+            (b["caption_ids"] * b["caption_mask"])[:, :64],
+        )
+
+    def test_non_prefix_mask_at_full_width_is_identity(self):
+        m = np.zeros((1, 64), np.int32)
+        m[0, [2, 63]] = 1  # last valid token in the final column
+        b = {"caption_ids": np.zeros((1, 64), np.int32), "caption_mask": m}
+        out = bucket_batch(b, (32, 64))
+        assert out["caption_ids"].shape == (1, 64)
+
 
 @pytest.fixture(scope="module")
 def tiny_module():

@@ -74,6 +74,15 @@ class TestShardingRules:
         spec = infer_param_spec("x/mlp/fc_in/kernel", (32, 128), mesh)
         assert spec == P("fsdp", None)
 
+    def test_wte_mesh_conditional(self):
+        # model axis present: vocab over model, emb dim replicated (the fsdp
+        # sharding there caused involuntary SPMD remat — sharding.py comment).
+        mesh_tp = self._mesh(model=2, fsdp=2)
+        assert infer_param_spec("x/lm/wte/embedding", (64, 32), mesh_tp) == P("model", None)
+        # pure-FSDP mesh: the gather conflict can't arise; keep memory sharded.
+        mesh_fsdp = self._mesh(model=1, fsdp=2)
+        assert infer_param_spec("x/lm/wte/embedding", (64, 32), mesh_fsdp) == P(None, "fsdp")
+
 
 class TestShardedTraining:
     def test_tp_forward_matches_replicated(self):
