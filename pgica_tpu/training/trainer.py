@@ -93,6 +93,7 @@ class PreferenceGuidedTrainer:
         self.global_step = 0
         self.current_epoch = 0
         self._lora_base = None  # frozen base params during LoRA training
+        self._stage2_dropped = None  # text tower held out by drop_unused_tower
         self._zero1_gather = None  # flat-shard -> param-tree fn under mesh.zero1
         self.best_val_loss: Dict[int, float] = {1: float("inf"), 2: float("inf")}
         self.early_stopping_patience = config.get("training.early_stopping_patience", 3)
@@ -209,7 +210,7 @@ class PreferenceGuidedTrainer:
             return (float(cfg["alpha"]), int(cfg["rank"]), float(cfg.get("dropout", 0.0)))
         return None
 
-    def _make_optimizer(self, stage: int, steps_per_epoch: int):
+    def _make_optimizer(self, stage: int, steps_per_epoch: int, params=None):
         cfg = self._stage_cfg(stage)
         accum = int(cfg.get("gradient_accumulation_steps", 1))
         # The warmup-cosine horizon must reflect the steps that will actually
@@ -244,7 +245,9 @@ class PreferenceGuidedTrainer:
             # LoRA: the optimizer only ever sees the adapter pytree, so no
             # freezing partitions are needed — the base is frozen by never
             # being differentiated (models/lora.py design).
-            params_for_freezing=None if lora else self.model.params,
+            params_for_freezing=None if lora else (
+                params if params is not None else self.model.params
+            ),
             freeze_vision_backbone=False if lora else self.model.freeze_vision_backbone,
             freeze_text_backbone=False if lora else self.model.freeze_text_backbone,
             frozen_prefixes=frozen_prefixes,
@@ -477,12 +480,21 @@ class PreferenceGuidedTrainer:
             config=self.config.to_dict(), **self._ckpt_payload(state),
         )
 
+    def _merge_dropped(self, params):
+        """Re-attach the tower held out by ``drop_unused_tower`` (missing keys
+        only — never clobbers a live subtree)."""
+        if self._stage2_dropped:
+            extra = {k: v for k, v in self._stage2_dropped.items() if k not in params}
+            if extra:
+                params = {**params, **extra}
+        return params
+
     def _sync_model(self, state):
         """Push the train state back onto the model wrapper."""
         if self._lora_base is not None:
             self.model.lora = state.params
         else:
-            self.model.params = self._train_params(state)
+            self.model.params = self._merge_dropped(self._train_params(state))
 
     def _ckpt_payload(self, state) -> Dict[str, Any]:
         """Checkpoint content: full params, or frozen base + adapter factors."""
@@ -494,7 +506,7 @@ class PreferenceGuidedTrainer:
                 "lora": lora_to_tree(state.params),
                 "lora_config": dict(self.model.lora_config),
             }
-        return {"params": self._train_params(state)}
+        return {"params": self._merge_dropped(self._train_params(state))}
 
     # ------------------------------------------------------------- stage 0
 
@@ -675,9 +687,30 @@ class PreferenceGuidedTrainer:
         reference_free = bool(cfg.get("reference_free", False))
         zero1 = self._zero1_active(lora)
         zero3 = self._zero3_active(lora)
+        # Stage 2 never executes the contrastive text tower (generation mode
+        # runs the vision tower + caption decoder only; flax never looks the
+        # subtree up), yet its fp32 masters + Adam zeros + the bf16
+        # frozen-reference copy still occupy HBM — ~4.7 GB at GPT-2-Large
+        # scale (results/PROFILE_scaled.md). drop_unused_tower removes the
+        # subtree from the policy AND the reference for the duration of the
+        # stage — loss-identical — and merges it back for every
+        # checkpoint/eval sync (_sync_model/_ckpt_payload).
+        drop_tower = bool(cfg.get("drop_unused_tower", False))
+        self._stage2_dropped = None
+        if drop_tower and (lora is not None or zero1 or zero3):
+            raise ValueError(
+                "training.stage2.drop_unused_tower composes with the plain "
+                "jit/TP/CP paths only (LoRA and ZeRO-1/3 manage their own "
+                "parameter layouts)"
+            )
         if not (zero1 or zero3):
             self._zero1_gather = None
-            optimizer = self._make_optimizer(2, len(self.preference_train_loader))
+            opt_params = self.model.params
+            if drop_tower and lora is None and "text_encoder" in opt_params:
+                opt_params = {k: v for k, v in opt_params.items() if k != "text_encoder"}
+            optimizer = self._make_optimizer(
+                2, len(self.preference_train_loader), params=opt_params,
+            )
         if lora is not None:
             self._lora_base = self.model.params
             trainable = self.model.lora  # carries over any stage-1 adaptation
@@ -690,12 +723,15 @@ class PreferenceGuidedTrainer:
                 ref_params = apply_lora(self._lora_base, trainable, alpha=alpha, rank=rank)
         else:
             self._lora_base = None
+            full = self.model.params
+            if drop_tower and "text_encoder" in full:
+                # Held-out tower leaves are never part of the (donated) train
+                # state, so the buffers stay valid for the merge-back.
+                self._stage2_dropped = {"text_encoder": full["text_encoder"]}
+                full = {k: v for k, v in full.items() if k != "text_encoder"}
             # Under ZeRO-1/3 the step manages parameter layout itself; the
             # GSPMD device_put here would only replicate a second full tree.
-            trainable = (
-                self.model.params if (zero1 or zero3)
-                else self._shard_state_params(self.model.params)
-            )
+            trainable = full if (zero1 or zero3) else self._shard_state_params(full)
             # Frozen reference policy = the policy at stage-2 start (standard
             # DPO). Deep copy: the train state is donated, so the reference
             # must own separate buffers. The reference only runs forward in
@@ -900,6 +936,7 @@ class PreferenceGuidedTrainer:
                     logger.info("Stage 2 early stopping at epoch %d", epoch)
                     break
         self._sync_model(state)
+        self._stage2_dropped = None  # model carries the full tree again
         return {"best_val_loss": self.best_val_loss[2], "history": self.history["stage2"]}
 
     # ------------------------------------------------------------- loops

@@ -26,30 +26,68 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--stage", type=int, default=1, choices=(1, 2))
 ap.add_argument("--bs", type=int, default=16)
 ap.add_argument("--remat", action="store_true")
+ap.add_argument("--seq", type=int, default=128,
+                help="caption width; 64 = the trainer's length-bucketing shape "
+                     "for realistic 8-28-token captions with headroom")
+ap.add_argument("--drop-text-tower", action="store_true",
+                help="stage 2 only: remove the frozen, never-executed text "
+                     "encoder from the policy state AND the frozen reference "
+                     "(generation mode never looks its params up). Mirrors "
+                     "training.stage2.drop_unused_tower.")
 ap.add_argument("--steps", type=int, default=8)
 ap.add_argument("--warmup", type=int, default=2)
-ap.add_argument("--sweep", action="store_true", help="fork the (stage, bs, remat) grid")
+ap.add_argument("--sweep", choices=("r4", "stage2fit"), default=None,
+                help="fork a named grid; every point appends to --out")
+# Raw data lands in results/ DIRECTLY (round-4 verdict weak #1: probe JSONLs
+# written to outputs/ were never committed and the MD tables diverged).
+ap.add_argument("--out", default="/root/repo/results/scaled_sweep.jsonl")
 args = ap.parse_args()
+
+GRIDS = {
+    # the round-4 grid: (stage, bs, remat, seq, drop)
+    "r4": [
+        (1, 8, False, 128, False), (1, 16, False, 128, False),
+        (1, 32, False, 128, False), (1, 48, False, 128, False),
+        (1, 32, True, 128, False), (1, 48, True, 128, False), (1, 64, True, 128, False),
+        (2, 4, False, 128, False), (2, 8, False, 128, False), (2, 16, False, 128, False),
+        (2, 8, True, 128, False), (2, 16, True, 128, False),
+    ],
+    # round-5 stage-2 fit hunt (verdict item 1): reproduce the r4 OOMs for
+    # the published negative result, then the levers the r4 sweep never
+    # tried — tiny batch, bucket-64 captions, dropping the unused text
+    # tower, remat combinations. Ordered by information value: server-side
+    # compiles cost ~15 min/point through the tunnel, so the grid is the
+    # priority subset; follow-up points append to the same --out JSONL.
+    "stage2fit": [
+        (2, 8, False, 128, False),   # r4 OOM reproduction (remat off)
+        (2, 16, True, 128, False),   # r4 OOM reproduction (remat on)
+        (2, 2, False, 128, False),   # smallest batch, no levers
+        (2, 8, True, 128, True),     # drop tower + remat at the r4 shape
+        (2, 16, True, 64, True),     # + bucket-64 captions
+        (2, 32, True, 64, True),     # throughput point if the above fits
+    ],
+}
 
 if args.sweep:
     # Each point in its own process: an OOM'd allocator never taints the next
     # measurement, and donated buffers are reclaimed by process exit.
-    grid = [
-        (1, 8, False), (1, 16, False), (1, 32, False), (1, 48, False),
-        (1, 32, True), (1, 48, True), (1, 64, True),
-        (2, 4, False), (2, 8, False), (2, 16, False), (2, 8, True), (2, 16, True),
-    ]
-    for stage, bs, remat in grid:
-        cmd = [sys.executable, __file__, "--stage", str(stage), "--bs", str(bs)]
+    for stage, bs, remat, seq, drop in GRIDS[args.sweep]:
+        cmd = [sys.executable, __file__, "--stage", str(stage), "--bs", str(bs),
+               "--seq", str(seq), "--out", args.out]
         if remat:
             cmd.append("--remat")
+        if drop:
+            cmd.append("--drop-text-tower")
         r = subprocess.run(cmd, capture_output=True, text=True)
         for line in r.stdout.splitlines():
             if line.startswith("{"):
                 print(line, flush=True)
         if r.returncode != 0 and "RESOURCE_EXHAUSTED" not in r.stdout + r.stderr:
-            print(json.dumps({"stage": stage, "bs": bs, "remat": remat,
-                              "error": (r.stderr or r.stdout)[-400:]}), flush=True)
+            err = {"stage": stage, "bs": bs, "remat": remat, "seq": seq,
+                   "drop_text_tower": drop, "error": (r.stderr or r.stdout)[-400:]}
+            print(json.dumps(err), flush=True)
+            with open(args.out, "a") as f:
+                f.write(json.dumps(err) + "\n")
     sys.exit(0)
 
 import numpy as np  # noqa: E402
@@ -70,9 +108,16 @@ from pgica_tpu.training.train_step import (  # noqa: E402
     make_stage2_train_step,
 )
 
-BS, SEQ = args.bs, 128
-point = {"stage": args.stage, "bs": BS, "remat": args.remat,
+BS, SEQ = args.bs, args.seq
+point = {"stage": args.stage, "bs": BS, "remat": args.remat, "seq": SEQ,
+         "drop_text_tower": args.drop_text_tower,
          "backend": jax.default_backend()}
+
+
+def _emit(p):
+    print(json.dumps(p), flush=True)
+    with open(args.out, "a") as f:
+        f.write(json.dumps(p) + "\n")
 
 module = build_module(
     vision_model="openai/clip-vit-large-patch14",
@@ -115,6 +160,18 @@ try:
         batch = {"image": images, "caption_ids": ids, "caption_mask": mask}
         run = lambda s, k: step(s, batch, k)  # noqa: E731
     else:
+        if args.drop_text_tower:
+            # Stage 2 never executes the text encoder (generation mode runs
+            # vision tower + caption decoder only — flax never looks the
+            # subtree up), but its fp32 masters + bf16 ref copy still occupy
+            # ~4.7 GB HBM at GPT-2-Large scale. Dropping it from both trees
+            # is loss-identical; the trainer merges it back for checkpoints
+            # (training.stage2.drop_unused_tower). Must happen BEFORE the
+            # optimizer: the freezing partition labels must match the tree.
+            params = {k: v for k, v in params.items() if k != "text_encoder"}
+            point["params_m"] = round(
+                sum(x.size for x in jax.tree.leaves(params)) / 1e6, 1
+            )
         opt = create_optimizer(
             1e-5, total_steps=10_000, warmup_steps=500,
             params_for_freezing=params, freeze_vision_backbone=True,
@@ -192,7 +249,7 @@ except Exception as e:
     else:
         point["fit"] = False
         point["error"] = msg[:300]
-        print(json.dumps(point), flush=True)
+        _emit(point)
         raise
 
-print(json.dumps(point), flush=True)
+_emit(point)

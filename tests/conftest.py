@@ -252,6 +252,7 @@ _SLOW_NODEIDS = (
     # faster sibling still in the gate (scan forward parity, packing wiring,
     # ring-attention forward, trainer smoke).
     "test_training.py::TestZero3Trainer",
+    "test_training.py::TestDropUnusedTower::test_loss_identical_and_tower_merged_back",
     "test_training.py::TestStage0Warmup",
     "test_training.py::TestStage2ReferencePersistence",
     "test_scan_layers.py::TestZero3",

@@ -275,6 +275,83 @@ class TestTrainer:
         assert out.get("skipped") is True
 
 
+class TestDropUnusedTower:
+    """training.stage2.drop_unused_tower: the contrastive text tower is held
+    out of the stage-2 policy/reference trees (it is outside the generation
+    graph; dropping it is loss-identical) and merged back on every sync."""
+
+    def _build(self, tokenizer, config_dict, tmp_path, sub, drop):
+        import copy
+
+        cfg_d = copy.deepcopy(config_dict)
+        cfg_d["training"]["stage2"]["drop_unused_tower"] = drop
+        cfg_d["training"]["stage2"]["num_epochs"] = 1
+        cfg_d["paths"] = {
+            "output_dir": str(tmp_path / sub / "out"),
+            "checkpoint_dir": str(tmp_path / sub / "ckpt"),
+        }
+        mdl = PreferenceGuidedCaptioningModel(
+            vision_model="tiny-vit", text_model="tiny-gpt2", projection_dim=PROJ,
+            tokenizer=tokenizer, max_caption_length=SEQ, image_size=IMG, seed=0,
+        )
+        items = []
+        for b in range(2):
+            batch = preference_batch(tokenizer, n=B, seed=b)
+            for i in range(B):
+                items.append({k: np.asarray(v[i]) for k, v in batch.items()})
+        trainer = PreferenceGuidedTrainer(
+            mdl, Config(config_dict=cfg_d),
+            preference_train_loader=DataLoader(
+                _ListDS(items), B, drop_last=True, prefetch=0
+            ),
+            preference_val_loader=DataLoader(_ListDS(items[:B]), B, prefetch=0),
+            output_dir=cfg_d["paths"]["output_dir"],
+        )
+        return mdl, trainer
+
+    def test_loss_identical_and_tower_merged_back(self, tokenizer, config_dict, tmp_path):
+        model_a, tr_a = self._build(tokenizer, config_dict, tmp_path, "full", False)
+        model_b, tr_b = self._build(tokenizer, config_dict, tmp_path, "drop", True)
+        tower_before = jax.tree.map(np.asarray, model_b.params["text_encoder"])
+
+        tr_a.train_stage2()
+        tr_b.train_stage2()
+
+        # The dropped tower is outside stage 2's gradient AND forward graphs,
+        # so every train/val loss must match the full-tree run.
+        for key in ("train_loss", "val_loss"):
+            la = [r[key] for r in tr_a.history["stage2"]]
+            lb = [r[key] for r in tr_b.history["stage2"]]
+            np.testing.assert_allclose(lb, la, rtol=1e-6, err_msg=key)
+
+        # Merge-back: the model carries the full tree again, tower bit-exact.
+        assert "text_encoder" in model_b.params
+        jax.tree.map(
+            np.testing.assert_array_equal, tower_before,
+            jax.tree.map(np.asarray, model_b.params["text_encoder"]),
+        )
+        # Same trajectory: the trained decoder ends up identical either way.
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            model_a.params["caption_decoder"], model_b.params["caption_decoder"],
+        )
+        # Checkpoints carry the full tree: clobber, restore, compare.
+        model_b.params = jax.tree.map(jnp.zeros_like, model_b.params)
+        tr_b.load_checkpoint("best_model_stage2")
+        jax.tree.map(
+            np.testing.assert_array_equal, tower_before,
+            jax.tree.map(np.asarray, model_b.params["text_encoder"]),
+        )
+
+    def test_rejected_under_zero_paths(self, tokenizer, config_dict, tmp_path):
+        _, tr = self._build(tokenizer, config_dict, tmp_path, "z", True)
+        tr.config.set("mesh.zero1", True)
+        with pytest.raises(ValueError):
+            tr.train_stage2()
+
+
 class TestGradientAccumulation:
     def test_params_update_only_every_k_steps(self, model, tokenizer):
         opt = create_optimizer(
