@@ -170,10 +170,42 @@ class TestRunner:
         assert result["metrics"]["latency_percentiles_omitted"] == 1.0
         assert result["metrics"]["latency_n_requests"] == 2
         assert result["metrics"]["latency_ms_per_caption_mean"] > 0
+        # the decode-graph compile is warmed untimed and reported on its own
+        # line, so percentiles describe steady state (r4 verdict item 7)
+        assert result["metrics"]["decode_warmup_ms"] > 0
         assert (tmp_path / "predictions.json").exists()
         assert (tmp_path / "metrics.json").exists()
         saved = json.loads((tmp_path / "metrics.json").read_text())
         assert "bleu_4" in saved
+
+    def test_decode_warmup_excluded_from_latencies(self, tmp_path, config):
+        """Warmup = ONE extra untimed generate call on the first batch only."""
+        from pgica_tpu.evaluation.runner import EvaluationRunner
+
+        calls = []
+
+        class _FakeModel:
+            tokenizer = None
+
+            def generate_captions(self, images, **kw):
+                calls.append(len(images))
+                return ["a cat sits"] * len(images)
+
+        class _Loader:
+            batch_size = 2
+
+            def __iter__(self):
+                for _ in range(3):
+                    yield {
+                        "image": np.zeros((2, 4, 4, 3), np.float32),
+                        "raw_caption": ["a cat sits", "a dog runs"],
+                    }
+
+        runner = EvaluationRunner(_FakeModel(), config, output_dir=tmp_path)
+        data = runner._generate_predictions(_Loader())
+        assert len(calls) == 4  # 3 timed batches + 1 untimed warmup
+        assert len(data["latencies_ms"]) == 3
+        assert data["warmup_ms"] is not None and data["warmup_ms"] >= 0
 
     def test_latency_percentiles_need_twenty_requests(self):
         from pgica_tpu.evaluation.runner import EvaluationRunner
