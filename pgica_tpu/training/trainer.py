@@ -725,9 +725,16 @@ class PreferenceGuidedTrainer:
             self._lora_base = None
             full = self.model.params
             if drop_tower and "text_encoder" in full:
-                # Held-out tower leaves are never part of the (donated) train
-                # state, so the buffers stay valid for the merge-back.
-                self._stage2_dropped = {"text_encoder": full["text_encoder"]}
+                # Hold the tower OUT OF HBM entirely: device_get moves it to
+                # host memory for the duration of the stage (merge-back and
+                # checkpointing accept numpy leaves; anything that later runs
+                # it re-uploads lazily). Keeping the device buffers alive here
+                # used to re-occupy ~2.9 GB at GPT-2-Large scale — the
+                # difference between fitting and OOM on one v5e chip
+                # (results/PROFILE_scaled.md, round-5 fit boundary).
+                self._stage2_dropped = {
+                    "text_encoder": jax.device_get(full["text_encoder"])
+                }
                 full = {k: v for k, v in full.items() if k != "text_encoder"}
             # Under ZeRO-1/3 the step manages parameter layout itself; the
             # GSPMD device_put here would only replicate a second full tree.
@@ -744,12 +751,15 @@ class PreferenceGuidedTrainer:
                 from pgica_tpu.core.precision import cast_floating, compute_dtype
 
                 ref_dtype = compute_dtype(cfg.get("reference_dtype", "bf16"))
+                # jit the cast: XLA allocates only the OUTPUT tree (jit
+                # results never alias inputs without donation, so leaves
+                # already in ref_dtype still get fresh buffers — required
+                # because the train state is donated). The eager
+                # copy-then-cast it replaces materialized a transient full
+                # f32 copy first: +3.1 GB peak at GPT-2-Large scale.
                 ref_params = self._stage2_reference(
                     ref_dtype,
-                    lambda: cast_floating(
-                        jax.tree.map(lambda x: jnp.array(x, copy=True), trainable),
-                        ref_dtype,
-                    ),
+                    lambda: jax.jit(lambda p: cast_floating(p, ref_dtype))(trainable),
                 )
         beta = float(cfg.get("dpo_beta", 0.1))
         length_normalized = bool(cfg.get("length_normalized", False))

@@ -36,7 +36,7 @@ ap.add_argument("--drop-text-tower", action="store_true",
                      "training.stage2.drop_unused_tower.")
 ap.add_argument("--steps", type=int, default=8)
 ap.add_argument("--warmup", type=int, default=2)
-ap.add_argument("--sweep", choices=("r4", "stage2fit"), default=None,
+ap.add_argument("--sweep", choices=("r4", "stage2fit", "fit5"), default=None,
                 help="fork a named grid; every point appends to --out")
 # Raw data lands in results/ DIRECTLY (round-4 verdict weak #1: probe JSONLs
 # written to outputs/ were never committed and the MD tables diverged).
@@ -65,6 +65,18 @@ GRIDS = {
         (2, 8, True, 128, True),     # drop tower + remat at the r4 shape
         (2, 16, True, 64, True),     # + bucket-64 captions
         (2, 32, True, 64, True),     # throughput point if the above fits
+    ],
+    # round-5 boundary map AFTER the init-residency fix (generation-mode
+    # init for drop-tower points): the compiled step peaks at 13.6 GB at
+    # bs2/seq64 by XLA's own memory analysis and RUNS; these points locate
+    # the single-chip batch ceiling at both bucket widths.
+    "fit5": [
+        (2, 2, True, 64, True),
+        (2, 4, True, 64, True),
+        (2, 8, True, 64, True),
+        (2, 16, True, 64, True),
+        (2, 2, True, 128, True),
+        (2, 4, True, 128, True),
     ],
 }
 
@@ -137,8 +149,18 @@ ids = jnp.asarray(rng.integers(0, GPT2_VOCAB, (BS, SEQ)).astype(np.int32))
 mask = jnp.ones((BS, SEQ), jnp.int32)
 
 try:
+    # Round-5 finding (results/PROFILE_scaled.md): dual-mode init materializes
+    # BOTH text towers on device, and buffers dropped afterwards are not
+    # reclaimed promptly through the axon runtime — the leaked ~2.9 GB made
+    # every drop-text-tower sweep point "OOM" even though the compiled step's
+    # own peak (13.6 GB by XLA memory analysis) fits. Init in generation mode
+    # when the tower is dropped: flax then only ever creates the params the
+    # stage-2 graph (encode_image + decode_train) actually uses.
+    init_mode = (
+        "generation" if (args.stage == 2 and args.drop_text_tower) else "dual"
+    )
     params = module.init(
-        jax.random.PRNGKey(0), images[:1], ids[:1], mask[:1], mode="dual"
+        jax.random.PRNGKey(0), images[:1], ids[:1], mask[:1], mode=init_mode
     )["params"]
     n_params = sum(x.size for x in jax.tree.leaves(params))
     point["params_m"] = round(n_params / 1e6, 1)
@@ -160,18 +182,16 @@ try:
         batch = {"image": images, "caption_ids": ids, "caption_mask": mask}
         run = lambda s, k: step(s, batch, k)  # noqa: E731
     else:
-        if args.drop_text_tower:
-            # Stage 2 never executes the text encoder (generation mode runs
-            # vision tower + caption decoder only — flax never looks the
-            # subtree up), but its fp32 masters + bf16 ref copy still occupy
-            # ~4.7 GB HBM at GPT-2-Large scale. Dropping it from both trees
-            # is loss-identical; the trainer merges it back for checkpoints
-            # (training.stage2.drop_unused_tower). Must happen BEFORE the
-            # optimizer: the freezing partition labels must match the tree.
+        if args.drop_text_tower and "text_encoder" in params:
+            # Reached only if init_mode above was "dual" (kept for safety):
+            # stage 2 never executes the text encoder, dropping it from both
+            # trees is loss-identical; the trainer merges it back for
+            # checkpoints (training.stage2.drop_unused_tower). Must happen
+            # BEFORE the optimizer: freezing partition labels match the tree.
             params = {k: v for k, v in params.items() if k != "text_encoder"}
-            point["params_m"] = round(
-                sum(x.size for x in jax.tree.leaves(params)) / 1e6, 1
-            )
+        point["params_m"] = round(
+            sum(x.size for x in jax.tree.leaves(params)) / 1e6, 1
+        )
         opt = create_optimizer(
             1e-5, total_steps=10_000, warmup_steps=500,
             params_for_freezing=params, freeze_vision_backbone=True,
@@ -182,9 +202,11 @@ try:
             donate_argnums=(0,),
         )
         # Frozen DPO reference is bf16 (trainer convention: it only ever runs
-        # a bf16 forward).
-        ref = cast_floating(jax.tree.map(lambda x: jnp.array(x, copy=True), params), jnp.bfloat16)
-        state = TrainState.create(params, opt)
+        # a bf16 forward). jit the cast so no transient f32 copy tree is
+        # materialized, and donate params into state creation so the f32
+        # masters alias them instead of allocating a second tree.
+        ref = jax.jit(lambda p: cast_floating(p, jnp.bfloat16))(params)
+        state = jax.jit(lambda p: TrainState.create(p, opt), donate_argnums=(0,))(params)
         del params
         batch = {"image": images, "preferred_ids": ids, "preferred_mask": mask,
                  "rejected_ids": ids, "rejected_mask": mask}
