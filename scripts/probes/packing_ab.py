@@ -10,6 +10,10 @@ discipline of s2_ab.py: ONE resident TrainState, two compiled steps (full /
 bucketed), R rounds x K steps each, medians quoted.
 
 Run: python scripts/probes/packing_ab.py [--stage 2] [--bs 32] [--rounds 4]
+
+Every JSON line is appended to --out (default results/packing_ab_r5.jsonl)
+as well as stdout, so the raw data lands in results/ atomically with the run
+(VERDICT r4 item 5: no MD table row without its committed raw line).
 """
 import argparse
 import json
@@ -43,9 +47,20 @@ ap.add_argument("--rounds", type=int, default=4)
 ap.add_argument("--steps", type=int, default=4)
 ap.add_argument("--min-len", type=int, default=8)
 ap.add_argument("--max-len", type=int, default=28)
+ap.add_argument("--out", default="/root/repo/results/packing_ab_r5.jsonl")
 args = ap.parse_args()
 
-print(json.dumps({"backend": jax.default_backend(), **vars(args)}), flush=True)
+_out = open(args.out, "a")  # noqa: SIM115 — held for the process lifetime
+
+
+def emit(obj):
+    line = json.dumps(obj)
+    print(line, flush=True)
+    _out.write(line + "\n")
+    _out.flush()
+
+
+emit({"backend": jax.default_backend(), **vars(args)})
 
 BS, SEQ = args.bs, 128
 module = build_module(
@@ -105,7 +120,7 @@ del params
 
 cut = bucket_batch(full, (32, 64, 96, 128))
 cut_w = next(v.shape[1] for k, v in cut.items() if k.endswith("_ids") or k == "caption_ids")
-print(json.dumps({"bucket_width": int(cut_w)}), flush=True)
+emit({"bucket_width": int(cut_w)})
 
 batches = {"full128": jax.tree.map(jnp.asarray, full),
            f"bucket{cut_w}": jax.tree.map(jnp.asarray, cut)}
@@ -118,7 +133,7 @@ for name, b in batches.items():
     state, m = run(state, b, key)
     jax.block_until_ready(m["loss"])
     losses[name] = float(m["loss"])
-print(json.dumps({"compile_done": True, "losses": losses}), flush=True)
+emit({"compile_done": True, "losses": losses})
 
 times = {name: [] for name in batches}
 for r in range(args.rounds):
@@ -136,4 +151,4 @@ for name, ts in times.items():
                  "spread_ms": [round(min(ts) * 1e3, 1), round(max(ts) * 1e3, 1)]}
 names = list(out)
 speedup = out[names[0]]["ms_per_step"] / out[names[1]]["ms_per_step"]
-print(json.dumps({"results": out, "full_over_bucket_x": round(speedup, 2)}), flush=True)
+emit({"results": out, "full_over_bucket_x": round(speedup, 2)})

@@ -59,4 +59,17 @@ p1 = module1.init(jax.random.PRNGKey(0), i1[:1], d1[:1], m1[:1], mode="contrasti
 st1 = TrainState.create(p1, opt)
 out["stage1"] = flops(make_stage1_train_step(module1, opt, 0.07), st1,
                       {"image": i1, "caption_ids": d1, "caption_mask": m1}, key)
-print(json.dumps({k: round(v / 1e12, 3) for k, v in out.items()}))
+
+# Bucketed shape (VERDICT r4 item 9): the shipping trainer length-buckets
+# realistic 8-28-token captions to the 32 bucket (training/packing.py), so
+# the post-bucketing MFU needs the seq-32 step's FLOPs, not seq-128's.
+ids32, mask32 = ids[:, :32], mask[:, :32]
+b2_32 = {"image": images, "preferred_ids": ids32, "preferred_mask": mask32,
+         "rejected_ids": ids32, "rejected_mask": mask32}
+out["stage2_full_seq32"] = flops(
+    make_stage2_train_step(module, opt, beta=0.1, augment=True), state, ref, b2_32, key)
+
+line = json.dumps({k: round(v / 1e12, 3) for k, v in out.items()})
+print(line)
+with open("/root/repo/results/s2_flops.jsonl", "a") as f:
+    f.write(line + "\n")
